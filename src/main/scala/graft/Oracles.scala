@@ -1,0 +1,64 @@
+package graft
+
+import graft.graph.{LinkGraph, Transcripts}
+import graft.algos._
+
+/** Assembles DuckDB-compatible oracle SQL for the driver's correctness
+ * gate. Every oracle is built from the same CTE fragments the Spark
+ * queries mirror, so both engines compute over identical derived rows.
+ * The driver registers each parquet table by name (`events`, `documents`,
+ * `embeddings`, ...). */
+object Oracles {
+  /** WITH prefix: events -> transcripts -> vertices -> dedges. */
+  private val graphCtes: String =
+    Transcripts.fromEventsSql + ",\n" + LinkGraph.verticesSql + ",\n" + LinkGraph.directedEdgesSql
+
+  /** DuckDB inlines CTEs, so a CTE referenced twice per unrolled iteration
+   * re-evaluates exponentially (and re-opens the parquet each time).
+   * Force single evaluation of every CTE. */
+  private def materialize(sql: String): String =
+    sql.replaceAll("""(\w+) AS \(""", "$1 AS MATERIALIZED (")
+
+  def withGraph(extraCtes: Seq[String], body: String): String =
+    materialize("WITH " + (graphCtes +: extraCtes).mkString(",\n") + "\n" + body)
+
+  /** body already contains its own CTE chain continuation + final SELECT. */
+  def withGraphChain(extraCtes: Seq[String], chainAndSelect: String): String =
+    materialize("WITH " + (graphCtes +: extraCtes).mkString(",\n") + ",\n" + chainAndSelect)
+
+  val transcripts: String =
+    "WITH " + Transcripts.fromEventsSql +
+      "\nSELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us FROM transcripts ORDER BY conv_id, turn_idx"
+
+  val vertices: String = withGraph(Nil,
+    "SELECT vid, conv_id, turn_idx, role, tool, turns FROM vertices ORDER BY vid")
+
+  val edges: String = withGraph(Nil,
+    "SELECT src, dst, kind FROM dedges ORDER BY src, dst, kind")
+
+  val degrees: String = withGraph(Seq(LinkGraph.undirectedSql),
+    """SELECT v.vid, coalesce(d.degree, 0) AS degree
+      |FROM vertices v LEFT JOIN (SELECT src AS vid, CAST(count(*) AS BIGINT) AS degree FROM uedges GROUP BY src) d
+      |  ON v.vid = d.vid ORDER BY v.vid""".stripMargin)
+
+  def pagerank(iters: Int): String =
+    withGraphChain(Seq(LinkGraph.prEdgesSql), PageRank.oracleSql(iters))
+
+  def cc(k: Int): String =
+    withGraphChain(Seq(LinkGraph.undirectedSql), ConnectedComponents.oracleSql(k))
+
+  def lpa(k: Int): String =
+    withGraphChain(Seq(LinkGraph.undirectedSql), LabelPropagation.oracleSql(k))
+
+  def sssp(source: Long, k: Int): String =
+    withGraphChain(Seq(LinkGraph.undirectedSql), SSSP.oracleSql(source, k))
+
+  val triangles: String = withGraph(
+    Seq(LinkGraph.canonicalSql, TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),
+    """SELECT v.vid, coalesce(t.triangles, 0) AS triangles
+      |FROM vertices v LEFT JOIN tcounts t ON v.vid = t.vid ORDER BY v.vid""".stripMargin)
+
+  val triangleCount: String = withGraph(
+    Seq(LinkGraph.canonicalSql, TriangleCount.trisCteSql),
+    "SELECT CAST(count(*) AS BIGINT) AS triangles FROM tris")
+}

@@ -1,13 +1,104 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{LinkGraph, Transcripts}
+import graft.pregel.{Pregel, PregelConfig, Hybrid}
+import graft.algos._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * The engine's working input is the transcript table (BASELINE.json
+ * input_hint) derived deterministically from the driver-provided `events`
+ * parquet, so the DuckDB oracle reproduces every derivation step in ANSI
+ * SQL over the same bytes. Iterative algorithms are pinned to a fixed
+ * superstep count K in BOTH engines: the Spark kernel's delta propagation
+ * provably equals the oracle's full-formula iterate at every superstep,
+ * so results match whether or not the graph converged by K (convergence
+ * itself is asserted in the ScalaTest suite). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  // superstep counts pinned engine<->oracle
+  val PR_ITERS = 10
+  val CC_ITERS = 25
+  val LPA_ITERS = 10
+  val SSSP_ITERS = 25
+  val SSSP_SOURCE = 0L
+
+  private def pregel(spark: SparkSession): Pregel = {
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    new Pregel(spark, PregelConfig(numPartitions = p, mode = Hybrid))
+  }
+
+  /** Derivation bundle reused by the graph queries. */
+  final case class G(verts: DataFrame, dedges: DataFrame, n: Long) {
+    lazy val undirected: DataFrame = LinkGraph.symmetrize(dedges)
+    lazy val prEdges: DataFrame = LinkGraph.withSelfLoops(dedges, verts)
+    lazy val canonical: DataFrame = LinkGraph.canonical(dedges)
+  }
+
+  def graphOf(spark: SparkSession, dir: String): G = {
+    val verts = LinkGraph.vertices(Transcripts.fromEvents(spark, dir)).cache()
+    G(verts, LinkGraph.directedEdges(verts), verts.count())
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = graphOf(spark, "/root/testdata/sf0.001")
+    PageRank.scores(pregel(spark), g.verts.select("vid"), g.prEdges, g.n, PR_ITERS)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "transcripts" -> ((s, dir) =>
+      Transcripts.fromEvents(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us")) // parquet ts is NTZ; session tz is UTC
+        .orderBy("conv_id", "turn_idx")),
+    "vertices" -> ((s, dir) => graphOf(s, dir).verts.orderBy("vid")),
+    "edges" -> ((s, dir) => graphOf(s, dir).dedges.orderBy("src", "dst", "kind")),
+    "degrees" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      val d = g.undirected.groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
+      g.verts.select("vid").join(d, Seq("vid"), "left_outer")
+        .select(col("vid"), coalesce(col("degree"), lit(0L)).as("degree"))
+        .orderBy("vid")
+    }),
+    "pagerank" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      PageRank.scores(pregel(s), g.verts.select("vid"), g.prEdges, g.n, PR_ITERS).orderBy("vid")
+    }),
+    "cc" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      ConnectedComponents.labels(pregel(s), g.verts.select("vid"), g.undirected, CC_ITERS).orderBy("vid")
+    }),
+    "lpa" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      LabelPropagation.labels(pregel(s), g.verts.select("vid"), g.undirected, LPA_ITERS).orderBy("vid")
+    }),
+    "sssp" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      SSSP.distances(pregel(s), g.verts.select("vid"), g.undirected, SSSP_SOURCE, SSSP_ITERS).orderBy("vid")
+    }),
+    "triangles" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      TriangleCount.perVertexAll(g.canonical, g.verts).orderBy("vid")
+    }),
+    "triangle_count" -> ((s, dir) => TriangleCount.global(graphOf(s, dir).canonical))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "transcripts" -> Oracles.transcripts,
+    "vertices" -> Oracles.vertices,
+    "edges" -> Oracles.edges,
+    "degrees" -> Oracles.degrees,
+    "pagerank" -> Oracles.pagerank(PR_ITERS),
+    "cc" -> Oracles.cc(CC_ITERS),
+    "lpa" -> Oracles.lpa(LPA_ITERS),
+    "sssp" -> Oracles.sssp(SSSP_SOURCE, SSSP_ITERS),
+    "triangles" -> Oracles.triangles,
+    "triangle_count" -> Oracles.triangleCount
+  )
 }

@@ -1,0 +1,70 @@
+package graft.pregel
+
+/** Exchange style for one superstep — the Spark translation of the
+ * reference's PUSH vs b-PULL choice (SIGMOD'16 hybrid engine). */
+sealed trait Style { def tag: String }
+case object Push extends Style { val tag = "push" } // shuffle scatter + groupBy(dst) combine
+case object Pull extends Style { val tag = "pull" } // broadcast-hash gather of respond values
+
+sealed trait ExchangeMode
+case object ForcePush extends ExchangeMode
+case object ForcePull extends ExchangeMode
+case object Hybrid extends ExchangeMode
+
+/**
+ * Per-superstep exchange chooser, mirroring the reference's master-side
+ * cost model and switching discipline
+ * (/root/reference/src/java/org/apache/hama/bsp/JobInProgress.java:885-998):
+ *  - Q >= 0 -> PULL, Q < 0 -> PUSH;
+ *  - dead-band |Q| <= 2.0 (MB here) -> keep current style;
+ *  - after a switch the style is locked for w=2 supersteps;
+ *  - switching is only considered after superstep 2 and only while the
+ *    respond count is decreasing (JobInProgress.java:947-966).
+ *
+ * Spark cost translation: PULL = broadcast the respond-value relation to
+ * every executor (cost ~ respondBytes * numExecutors, plus it must fit the
+ * broadcast cap); PUSH = shuffle the respond relation into the edge join
+ * plus shuffle the (partially combined) messages (cost ~ respondBytes +
+ * combinedMsgBytes). Catalyst/AQE makes this call per join inside ONE
+ * plan; across supersteps with history it is driver logic — this class.
+ */
+final class CostModel(
+    mode: ExchangeMode,
+    numExecutors: Int,
+    broadcastCapBytes: Long,
+    deadBandMb: Double = 2.0,
+    switchLock: Int = 2) {
+
+  private var current: Style = Pull
+  private var lockedUntil: Int = 0
+  private var prevRespond: Long = Long.MaxValue
+  var lastQ: Double = 0.0
+
+  /** @param estMsgs   sum of out-degrees over responding vertices
+   *  @param rowBytes  estimated bytes per respond-relation row
+   *  @param combineRatio measured combined/produced message ratio (<=1) */
+  def choose(superstep: Int, respondCount: Long, estMsgs: Long,
+             rowBytes: Int, combineRatio: Double): Style = {
+    val respondBytes = respondCount * rowBytes
+    mode match {
+      case ForcePush => current = Push
+      case ForcePull => current = Pull
+      case Hybrid =>
+        val pullCost = respondBytes.toDouble * numExecutors
+        val pushCost = respondBytes.toDouble + estMsgs * 16.0 * combineRatio
+        val q = (pushCost - pullCost) / (1 << 20) // MB; q>=0 -> pull cheaper
+        lastQ = q
+        val decreasing = respondCount <= prevRespond
+        val want =
+          if (respondBytes > broadcastCapBytes) Push // hard cap: cannot broadcast
+          else if (superstep <= 2 || !decreasing || superstep < lockedUntil) current
+          else if (math.abs(q) <= deadBandMb) current
+          else if (q >= 0) Pull
+          else Push
+        if (want != current) lockedUntil = superstep + switchLock
+        current = want
+        prevRespond = respondCount
+    }
+    current
+  }
+}

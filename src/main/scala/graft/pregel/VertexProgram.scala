@@ -1,0 +1,64 @@
+package graft.pregel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** VBlock processing rule analog (reference
+ * /root/reference/src/java/org/apache/hama/Constants.java:118-140):
+ * UPDATE = process every vertex every superstep (PageRank, LPA);
+ * MSG_DEPEND = process only vertices that received a message (CC, SSSP). */
+sealed trait UpdateRule
+case object UpdateAll extends UpdateRule
+case object MsgDepend extends UpdateRule
+
+/**
+ * The vertex-centric programming surface — the Spark-native analog of the
+ * reference's BSP<V,W,M,I> + UserTool contract
+ * (/root/reference/src/java/org/apache/hama/myhama/api/BSPInterface.java:21-98,
+ * api/UserTool.java:12-35), re-expressed as Catalyst column algebra so the
+ * whole superstep stays inside whole-stage codegen (no UDFs, no RDDs).
+ *
+ * State schema contract: (vid: long, outdeg: long, <program value cols>,
+ * respond: boolean). `respond` == the reference's setRespond(): the vertex
+ * sends messages over its out-edges in the exchange that follows.
+ */
+trait VertexProgram {
+  def name: String
+
+  /** Initial state from vertices(vid, ...) joined with out-degrees.
+   * Input frame provides (vid, outdeg). Must emit the state schema. */
+  def initState(vertices: DataFrame): DataFrame
+
+  /** Message value, evaluated over a responding sender's state row joined
+   * with one out-edge (available cols: all state cols + `dst` [+ `weight`]).
+   * Analog of BSPInterface.getMessages (one message per out-edge). */
+  def msgExpr: Column
+
+  /** Combine raw messages msgs(vid, msg) into inbox(vid, <agg cols>).
+   * Analog of MsgRecord.combiner; Spark's partial+final hash aggregation
+   * is the sender-side + receiver-side combining of the reference
+   * (GraphDataServerDisk.java:901-903 / MsgDataServer.java:845-873). */
+  def aggregate(msgs: DataFrame): DataFrame
+
+  /** New state from old-state columns + nullable inbox agg columns.
+   * `joined` = state LEFT OUTER JOIN inbox ON vid. Must emit state schema.
+   * Analog of BSPInterface.update(context). */
+  def update(joined: DataFrame, superstep: Int, jobAgg: Double): DataFrame
+
+  /** Per-vertex contribution to the global aggregate (reference
+   * setVertexAgg -> taskAgg -> jobAgg, Context.java:122-124). Evaluated
+   * over the new state. */
+  def vertexAggCol: Column = lit(0.0)
+
+  /** Inbox agg columns as null literals of the right type, used at
+   * superstep 1 when no messages exist yet (keeps update() resolvable). */
+  def emptyInboxCols: Seq[(String, Column)]
+
+  def updateRule: UpdateRule
+  def maxSupersteps: Int
+
+  /** Extra early-stop on top of respondCount==0 (e.g. LPA's jobAgg==0,
+   * LPABSP.java:69-74). jobAgg is the PREVIOUS superstep's aggregate,
+   * exactly like the reference's broadcast-next-step semantics. */
+  def halted(jobAgg: Double, superstep: Int): Boolean = false
+}
