@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.LinkGraph
+import graft.pregel._
+import graft.algos._
+
+/** Golden micro-graph tests (FIXTURES.md §4) — hand-checkable expectations
+ * plus comparisons against the independent RefOracle interpreter. */
+class AlgoGoldenSpec extends SparkTestBase {
+
+  private def pregel(mode: ExchangeMode = Hybrid) =
+    new Pregel(spark, PregelConfig(numPartitions = 4, numBlocks = 8, mode = mode))
+
+  private def ccOf(n: Long, undirected: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.labels(pregel(), vertDF(n), edgeDF(undirected), 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K3: one triangle, single component, symmetric PageRank") {
+    val canon = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    val tri = TriangleCount.perVertexAll(edgeDF(canon), vertDF(3).withColumnRenamed("vid", "vid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+
+    val sym = LinkGraph.symmetrize(edgeDF(canon))
+    assert(ccOf(3, Seq((0L,1L),(1L,0L),(0L,2L),(2L,0L),(1L,2L),(2L,1L))) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L))
+
+    val prEdges = LinkGraph.withSelfLoops(sym, vertDF(3))
+    val scores = PageRank.scores(pregel(), vertDF(3), prEdges, 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.toSet.size == 1, s"K3 PR must be symmetric: $scores")
+  }
+
+  test("K4 minus an edge: two triangles") {
+    val canon = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)) // missing (2,3)
+    val tri = TriangleCount.perVertexAll(edgeDF(canon), vertDF(4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri == Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 1L))
+    val global = TriangleCount.global(edgeDF(canon)).head().getLong(0)
+    assert(global == 2L)
+  }
+
+  test("two components: min-label per component") {
+    val sym = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    assert(ccOf(5, sym) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("dangling vertex PageRank: self-loop rule matches RefOracle") {
+    // 0 -> 1, vertex 1 dangling -> gets self-loop at derivation
+    val directed = edgeDF(Seq((0L, 1L)))
+    val prEdges = LinkGraph.withSelfLoops(directed, vertDF(2))
+    val got = PageRank.scores(pregel(), vertDF(2), prEdges, 2, 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = RefOracle.pagerank(Seq(0L, 1L), Seq((0L, 1L), (1L, 1L)), 6)
+    for ((v, x) <- want) assert(math.abs(got(v) - x * 2) < 1e-6, s"v=$v got=${got(v)} want=${x * 2}")
+  }
+
+  test("path LPA matches RefOracle (deterministic max-label tie-break)") {
+    val sym = Seq((0L,1L),(1L,0L),(1L,2L),(2L,1L),(2L,3L),(3L,2L))
+    val got = LabelPropagation.labels(pregel(), vertDF(4), edgeDF(sym), 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = RefOracle.lpa((0L until 4L).toSeq, sym, 6)
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("SSSP deterministic weights match RefOracle") {
+    val sym = Seq((0L,1L),(1L,0L),(1L,2L),(2L,1L),(0L,3L),(3L,0L),(3L,2L),(2L,3L))
+    val got = SSSP.distances(pregel(), vertDF(4), edgeDF(sym), 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = RefOracle.sssp((0L until 4L).toSeq, sym, 0L, 10).filter(_._2 < 1e299)
+    assert(got == want, s"got=$got want=$want")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import graft.pregel._
+import graft.algos._
+
+/** Superstep-kernel behaviors: checkpoint/resume, hybrid cost-model
+ * switching discipline (SURVEY.md §5 item 5), metrics. */
+class KernelSpec extends SparkTestBase {
+
+  test("checkpoint + resume mid-iteration reproduces the uninterrupted run") {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    val (vids, directed) = RefOracle.randomGraph(30, 55, 11L)
+    val sym = (directed ++ directed.map(_.swap)).distinct
+    val verts = vertDF(vids.size.toLong)
+
+    // uninterrupted
+    val full = ConnectedComponents.labels(
+      new Pregel(spark, PregelConfig(numPartitions = 4)), verts, edgeDF(sym), 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // phase 1: run only 3 supersteps, checkpointing every 2 (so step 2 + final step 3 are snapshotted)
+    val cfg1 = PregelConfig(numPartitions = 4, checkpointDir = Some(dir), checkpointEvery = 2)
+    val (_, m1) = new Pregel(spark, cfg1).run(new ConnectedComponents(3), verts, edgeDF(sym))
+    assert(m1.exists(_.checkpointed), "phase 1 must checkpoint")
+
+    // phase 2: resume from the snapshot and run to convergence
+    val cfg2 = cfg1.copy(resume = true)
+    val (state2, m2) = new Pregel(spark, cfg2).run(new ConnectedComponents(50), verts, edgeDF(sym))
+    assert(m2.head.superstep == 4, s"resume must continue at superstep 4, got ${m2.head.superstep}")
+    val resumed = state2.select("vid", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full, "resumed run must equal uninterrupted run")
+  }
+
+  test("checkpoint metadata carries per-partition lineage and metrics") {
+    val dir = Files.createTempDirectory("graft-ckpt2").toString
+    val verts = vertDF(10)
+    val sym = (0L until 9L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val cfg = PregelConfig(numPartitions = 4, checkpointDir = Some(dir), checkpointEvery = 100)
+    new Pregel(spark, cfg).run(new ConnectedComponents(5), verts, edgeDF(sym))
+    val metaFiles = Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    var meta = ""
+    metaFiles.forEachRemaining(p => if (p.getFileName.toString == "meta.json") meta = Files.readString(p))
+    assert(meta.contains("\"partitions\":[{\"pid\":"), s"per-partition lineage missing: $meta")
+    assert(meta.contains("\"metrics\":[{\"superstep\":1"), "metrics history missing")
+    assert(meta.contains("\"style\":"), "exchange style missing from metrics")
+  }
+
+  test("cost model: dead-band keeps style, switch locks for w supersteps, cap forces push") {
+    val cm = new CostModel(Hybrid, numExecutors = 4, broadcastCapBytes = 1000)
+    // superstep <= 2: never switches (starts Pull)
+    assert(cm.choose(1, 10, 10, 10, 1.0) == Pull)
+    assert(cm.choose(2, 10, 10, 10, 1.0) == Pull)
+    // big respond relation: exceeds broadcast cap -> Push regardless
+    assert(cm.choose(3, 1000, 10, 10, 1.0) == Push)
+    // small respond, huge message volume -> push still cheaper? q<0 keeps push;
+    // tiny messages and tiny respond -> |q| inside dead-band keeps current (Push)
+    assert(cm.choose(4, 10, 10, 10, 1.0) == Push)
+    // strongly pull-favored (huge est msgs, small respond) but switch-locked until step 5+2
+    val s5 = cm.choose(5, 9, 100000000L, 10, 1.0)
+    assert(s5 == Pull, s"expected switch to Pull at step 5, got $s5")
+    // immediately try to force back: locked
+    val s6 = cm.choose(6, 8, 0, 10, 1.0)
+    assert(s6 == Pull, "switch interval must lock the style")
+  }
+
+  test("push and pull exchanges produce identical supersteps (style parity)") {
+    val (vids, directed) = RefOracle.randomGraph(20, 40, 3L)
+    val sym = (directed ++ directed.map(_.swap)).distinct
+    val verts = vertDF(vids.size.toLong)
+    val a = LabelPropagation.labels(new Pregel(spark, PregelConfig(4, mode = ForcePush)), verts, edgeDF(sym), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = LabelPropagation.labels(new Pregel(spark, PregelConfig(4, mode = ForcePull)), verts, edgeDF(sym), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+}
