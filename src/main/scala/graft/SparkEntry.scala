@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.graph.{LinkGraph, Transcripts}
 import graft.pregel.{Pregel, PregelConfig, Hybrid}
 import graft.algos._
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -84,8 +85,35 @@ object SparkEntry {
       val g = graphOf(s, dir)
       TriangleCount.perVertexAll(g.canonical, g.verts).orderBy("vid")
     }),
-    "triangle_count" -> ((s, dir) => TriangleCount.global(graphOf(s, dir).canonical))
+    "triangle_count" -> ((s, dir) => TriangleCount.global(graphOf(s, dir).canonical)),
+
+    // -------- training-data pipeline operators (documents/embeddings) ----
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir)).orderBy("doc_id")),
+    "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), MH_K, MH_BANDS, MH_MINJ)),
+    "text_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), SH_BITS).orderBy("doc_id")),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), SH_BITS, SH_MAXHAM)),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), NG_N, NG_MINJ)),
+    "dedup_embedding" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir), EMB_MINCOS)),
+    "ann_topk" -> ((s, dir) => Similarity.annTopK(emb(s, dir), ANN_K)),
+    "ann_lsh" -> ((s, dir) => Similarity.annLsh(emb(s, dir), ANN_LSH_K, ANN_LSH_BITS)),
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
+    "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
+    "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    "multimodal_meta" -> ((s, dir) => Multimodal.meta(docs(s, dir)))
   )
+
+  // pipeline knobs pinned engine<->oracle
+  val MH_K = 16; val MH_BANDS = 4; val MH_MINJ = 0.2
+  val SH_BITS = 16; val SH_MAXHAM = 3
+  val NG_N = 3; val NG_MINJ = 0.8
+  val EMB_MINCOS = 0.2
+  val ANN_K = 5; val ANN_LSH_K = 3; val ANN_LSH_BITS = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -99,6 +127,19 @@ object SparkEntry {
     "lpa" -> Oracles.lpa(LPA_ITERS),
     "sssp" -> Oracles.sssp(SSSP_SOURCE, SSSP_ITERS),
     "triangles" -> Oracles.triangles,
-    "triangle_count" -> Oracles.triangleCount
+    "triangle_count" -> Oracles.triangleCount,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_minhash" -> Dedup.minhashLshSql(MH_K, MH_BANDS, MH_MINJ),
+    "text_simhash" -> Dedup.simhashSql(SH_BITS),
+    "dedup_simhash" -> Dedup.simhashPairsSql(SH_BITS, SH_MAXHAM),
+    "dedup_ngram" -> Dedup.ngramJaccardSql(NG_N, NG_MINJ),
+    "dedup_embedding" -> Similarity.cosinePairsSql(EMB_MINCOS),
+    "ann_topk" -> Similarity.annTopKSql(ANN_K),
+    "ann_lsh" -> Similarity.annLshSql(ANN_LSH_K, ANN_LSH_BITS),
+    "text_langid" -> TextAnalysis.langIdSql,
+    "text_quality" -> TextAnalysis.qualitySql,
+    "text_tokens" -> TextAnalysis.tokenCountsSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "multimodal_meta" -> Multimodal.metaSql
   )
 }

@@ -1,0 +1,239 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Deduplication operators over the `documents` table — the training-data
+ * pipeline capability set (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+ * embedding cosine in Similarity.scala).
+ *
+ * Portability contract: every hash is an md5 hex STRING and every numeric
+ * is integer arithmetic or IEEE-double division, so the DuckDB oracle
+ * reproduces results bit-for-bit (no engine-specific hash functions).
+ *
+ * Scale notes: all shuffles key on doc_id or (band, bandHash) — LSH
+ * banding is exactly the shuffle-key trick that makes near-dup detection
+ * linear-ish at 100 TB (candidates only within a bucket, never all
+ * pairs). Map-side partial aggregation absorbs hot shingles; the pair
+ * verification join is band-bucket-local.
+ */
+object Dedup {
+
+  /** (doc_id, pos, word) whitespace tokens; pos only orders within a doc. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+
+  val tokensSql: String =
+    """tokens AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+      |         unnest(range(1, len(string_split(text, ' '))+1)) AS pos
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Distinct word w-shingles per doc. */
+  def shingles(docs: DataFrame, w: Int = 2): DataFrame = {
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = (1 until w).foldLeft(col("word")) { (acc, i) =>
+      concat(acc, lit(" "), lead(col("word"), i).over(win))
+    }
+    tokens(docs).select(col("doc_id"), sh.as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+  }
+
+  def shinglesSql(w: Int = 2): String = {
+    val parts = (1 until w).foldLeft("word") { (acc, i) =>
+      s"$acc || ' ' || lead(word,$i) OVER (PARTITION BY doc_id ORDER BY pos)"
+    }
+    s"""shingles AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, $parts AS sh
+       |  FROM tokens QUALIFY sh IS NOT NULL
+       |)""".stripMargin
+  }
+
+  /** Exact dedup: md5 content groups; canonical = min doc_id per group. */
+  def exact(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("doc_id"), md5(col("text")).as("dup_group"))
+    g.withColumn("is_canonical",
+      col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("dup_group"))))
+  }
+
+  val exactSql: String =
+    """WITH g AS (SELECT doc_id, md5(text) AS dup_group FROM documents)
+      |SELECT doc_id, dup_group,
+      |       doc_id = min(doc_id) OVER (PARTITION BY dup_group) AS is_canonical
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** MinHash signatures: k independent permutations simulated by seeded
+   * md5 ("i:" || shingle); the signature element is the lexicographic min
+   * hex digest (a valid min-hash family over strings). */
+  def minhashSigs(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(i => min(md5(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minhashSigsSql(k: Int): String =
+    s"""sigs AS MATERIALIZED (
+       |  SELECT doc_id, ${(0 until k).map(i => s"min(md5('$i:' || sh)) AS m$i").mkString(", ")}
+       |  FROM shingles GROUP BY doc_id
+       |)""".stripMargin
+
+  /** LSH banding: bands of `rows` signature elements; bucket key =
+   * md5(concat(band elements)). Candidate pairs collide in >=1 band. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandFrames = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"m$i"))
+      sigs.select(col("doc_id"), lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+    }
+    val all = bandFrames.reduce(_ unionByName _)
+    all.as("a").join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a"), col("b.doc_id").as("b")).distinct()
+  }
+
+  def lshCandidatesSql(bands: Int, rows: Int): String = {
+    val unions = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"m$i").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5($cols) AS bh FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""bands AS MATERIALIZED (
+       |  $unions
+       |),
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |)""".stripMargin
+  }
+
+  /** Verified Jaccard over candidate pairs. Output (a, b, jaccard). */
+  def verifyJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sa = sh.select(col("doc_id").as("a"), col("sh"))
+    val sb = sh.select(col("doc_id").as("b"), col("sh"))
+    val common = cands.join(sa, "a").join(sb, Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: (a, b, jaccard) above threshold. */
+  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, minJaccard: Double = 0.2): DataFrame = {
+    val sh = shingles(docs, 2).cache()
+    val cands = lshCandidates(minhashSigs(sh, k), bands, k / bands)
+    verifyJaccard(cands, sh).filter(col("jaccard") >= minJaccard)
+      .orderBy("a", "b")
+  }
+
+  def minhashLshSql(k: Int = 16, bands: Int = 4, minJaccard: Double = 0.2): String =
+    s"""WITH $tokensSql,
+       |${shinglesSql(2)},
+       |${minhashSigsSql(k)},
+       |${lshCandidatesSql(bands, k / bands)},
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)
+       |SELECT c.a, c.b,
+       |       CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) AS jaccard
+       |FROM cands c
+       |JOIN shingles xa ON xa.doc_id = c.a
+       |JOIN shingles xb ON xb.doc_id = c.b AND xa.sh = xb.sh
+       |JOIN sizes sa ON sa.doc_id = c.a
+       |JOIN sizes sb ON sb.doc_id = c.b
+       |GROUP BY c.a, c.b, sa.n, sb.n
+       |HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= $minJaccard
+       |ORDER BY c.a, c.b""".stripMargin
+
+  /** SimHash (16-bit here; width is a knob — 64-bit at scale): per-token
+   * md5 bits, majority vote per bit position, >=0 breaks ties to 1. */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val tk = tokens(docs)
+    val sums = (0 until bits).map { j =>
+      // hex nibble value via conv(char,16,10) == DuckDB strpos(hex,c)-1
+      val v = conv(substring(col("md5w"), j / 4 + 1, 1), 16, 10).cast("long")
+      val bit = shiftright(v, j % 4).bitwiseAND(1)
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val agg = tk.withColumn("md5w", md5(col("word")))
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sh = (0 until bits).map(j =>
+      when(col(s"s$j") >= 0, lit(1L) * (1L << j)).otherwise(0L)).reduce(_ + _)
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  def simhashSql(bits: Int = 16): String = {
+    val sums = (0 until bits).map { j =>
+      s"sum(((((strpos('0123456789abcdef', substr(md5(word), ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) * 2) - 1) AS s$j"
+    }.mkString(",\n    ")
+    val enc = (0 until bits).map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH $tokensSql,
+       |agg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM tokens GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($enc AS BIGINT) AS simhash FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs within Hamming distance `maxHam`. */
+  def simhashPairs(docs: DataFrame, bits: Int = 16, maxHam: Int = 3): DataFrame = {
+    val s = simhash(docs, bits)
+    val a = s.select(col("doc_id").as("a"), col("simhash").as("ha"))
+    val b = s.select(col("doc_id").as("b"), col("simhash").as("hb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHam)
+      .orderBy("a", "b")
+  }
+
+  def simhashPairsSql(bits: Int = 16, maxHam: Int = 3): String = {
+    val inner = simhashSql(bits).replace("ORDER BY doc_id", "")
+    s"""WITH s AS MATERIALIZED ($inner)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHam
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Character n-gram Jaccard near-dups (exact all-pairs via gram join —
+   * quadratic only within gram buckets, not globally). */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), col("text"), explode(
+        when(length(col("text")) >= n, sequence(lit(1), length(col("text")) - (n - 1)))
+          .otherwise(array())).as("pos"))
+      .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("g"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ga = grams.select(col("doc_id").as("a"), col("g"))
+    val gb = grams.select(col("doc_id").as("b"), col("g"))
+    val inter = ga.join(gb, Seq("g")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("a", "b")
+  }
+
+  def ngramJaccardSql(n: Int = 3, minJaccard: Double = 0.8): String =
+    s"""WITH grams AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, substr(text, CAST(pos AS INT), $n) AS g
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - ${n - 2})) AS pos FROM documents)
+       |),
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS MATERIALIZED (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT i.a, i.b, CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+       |FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+       |WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= $minJaccard
+       |ORDER BY i.a, i.b""".stripMargin
+}
