@@ -53,6 +53,9 @@ object Oracles {
   def sssp(source: Long, k: Int): String =
     withGraphChain(Seq(LinkGraph.undirectedSql), SSSP.oracleSql(source, k))
 
+  def mis(k: Int): String =
+    withGraphChain(Seq(LinkGraph.undirectedSql), MIS.oracleSql(k))
+
   val triangles: String = withGraph(
     Seq(LinkGraph.canonicalSql, TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),
     """SELECT v.vid, coalesce(t.triangles, 0) AS triangles

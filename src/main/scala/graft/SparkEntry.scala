@@ -25,6 +25,7 @@ object SparkEntry {
   val LPA_ITERS = 10
   val SSSP_ITERS = 25
   val SSSP_SOURCE = 0L
+  val MIS_ITERS = 20 // even; pinned engine<->oracle
 
   private def pregel(spark: SparkSession): Pregel = {
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -81,6 +82,10 @@ object SparkEntry {
       val g = graphOf(s, dir)
       SSSP.distances(pregel(s), g.verts.select("vid"), g.undirected, SSSP_SOURCE, SSSP_ITERS).orderBy("vid")
     }),
+    "mis" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      MIS.statuses(pregel(s), g.verts.select("vid"), g.undirected, MIS_ITERS).orderBy("vid")
+    }),
     "triangles" -> ((s, dir) => {
       val g = graphOf(s, dir)
       TriangleCount.perVertexAll(g.canonical, g.verts).orderBy("vid")
@@ -126,6 +131,7 @@ object SparkEntry {
     "cc" -> Oracles.cc(CC_ITERS),
     "lpa" -> Oracles.lpa(LPA_ITERS),
     "sssp" -> Oracles.sssp(SSSP_SOURCE, SSSP_ITERS),
+    "mis" -> Oracles.mis(MIS_ITERS),
     "triangles" -> Oracles.triangles,
     "triangle_count" -> Oracles.triangleCount,
     "dedup_exact" -> Dedup.exactSql,

@@ -51,6 +51,7 @@ final class PageRank(n: Long, iterations: Int) extends VertexProgram {
   }
 
   override def vertexAggCol: Column = col("value")
+  override def usesPriorState: Boolean = false // new rank = f(messages, outdeg) only
   val updateRule: UpdateRule = UpdateAll
   val maxSupersteps: Int = iterations
 }

@@ -36,6 +36,7 @@ final class CostModel(
     switchLock: Int = 2) {
 
   private var current: Style = Pull
+  private var first = true
   private var lockedUntil: Int = 0
   private var prevRespond: Long = Long.MaxValue
   var lastQ: Double = 0.0
@@ -57,11 +58,15 @@ final class CostModel(
         val decreasing = respondCount <= prevRespond
         val want =
           if (respondBytes > broadcastCapBytes) Push // hard cap: cannot broadcast
+          else if (first) { // initial style from cost (dead-band keeps the Pull default), no lock
+            first = false
+            if (math.abs(q) <= deadBandMb) current else if (q >= 0) Pull else Push
+          }
           else if (superstep <= 2 || !decreasing || superstep < lockedUntil) current
           else if (math.abs(q) <= deadBandMb) current
           else if (q >= 0) Pull
           else Push
-        if (want != current) lockedUntil = superstep + switchLock
+        if (want != current && !first) lockedUntil = superstep + switchLock
         current = want
         prevRespond = respondCount
     }

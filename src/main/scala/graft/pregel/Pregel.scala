@@ -25,12 +25,18 @@ case class PregelConfig(
     numBlocks: Int = 256, // VBlock analog (Constants.java:84 default 5/task)
     mode: ExchangeMode = Hybrid,
     numExecutors: Int = 4, // cost-model cluster-size knob
-    broadcastCapBytes: Long = 64L << 20,
+    broadcastCapBytes: Long = 16L << 20, // broadcast build is driver-bound; pull only pays off for small respond sets
     stateRowBytes: Int = 32,
     checkpointDir: Option[String] = None,
     checkpointEvery: Int = 10,
     resume: Boolean = false,
-    blockPruneThreshold: Double = 0.5)
+    blockPruneThreshold: Double = 0.5,
+    /** Fuse k supersteps into one Spark action (barrier every k) for
+     * UpdateAll programs that don't read prior state (PageRank): k
+     * supersteps become one pipelined plan, dividing per-superstep driver
+     * overhead by k. The reference's mini-superstep batching analog
+     * (BSPTask.runIteration:675-711) in reverse. */
+    fusedSupersteps: Int = 1)
 
 /**
  * The superstep kernel — Spark-native analog of the reference's BSP driver
@@ -72,13 +78,21 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val vertsWithDeg = vertices.join(deg, Seq("vid"), "left_outer")
       .withColumn("outdeg", coalesce(col("outdeg"), lit(0L)))
 
+    // Programs whose update() is a pure function of (static vertex cols,
+    // inbox) join against this cached, pre-partitioned relation instead of
+    // the prior state: the join is exchange-free (inbox comes out of the
+    // combine already hash(vid)-partitioned) and plan growth is linear.
+    val staticBase =
+      if (program.usesPriorState) None
+      else Some(vertsWithDeg.repartition(p, col("vid")).persist(StorageLevel.MEMORY_AND_DISK))
+
     val resumed = if (cfg.resume) ckpt.flatMap(_.latest()) else None
     // localCheckpoint each superstep: materializes the state AND truncates
     // the iterative logical plan (otherwise analyzer/optimizer cost and
     // driver heap grow superlinearly with superstep count).
     var state = resumed.map(_._2).getOrElse(
         program.initState(vertsWithDeg).repartition(p, col("vid")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var startStep = resumed.map(_._1 + 1).getOrElse(1)
     var inbox: Option[DataFrame] = None
     if (resumed.isDefined) {
@@ -89,49 +103,60 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
 
     var jobAgg = resumed.map(_._3).getOrElse(0.0)
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetrics]()
+    val fuse =
+      if (program.usesPriorState || program.updateRule != UpdateAll) 1
+      else math.max(1, cfg.fusedSupersteps)
     var t = startStep
     var done = false
+    var style: Style = Pull
     while (!done && t <= program.maxSupersteps) {
       val t0 = System.nanoTime()
-      val joined = inbox match {
-        case Some(in) => state.join(in.withColumnRenamed("vid", "_mvid"),
-          col("vid") === col("_mvid"), "left_outer").drop("_mvid")
-        case None => program.emptyInboxCols.foldLeft(state)((df, c) => df.withColumn(c._1, c._2))
+      // fuse supersteps t..tEnd into one lazy plan (barrier at tEnd)
+      val tEnd = math.min(t + fuse - 1, program.maxSupersteps)
+      var st = state
+      var in = inbox
+      for (tt <- t to tEnd) {
+        val joinLeft = staticBase.getOrElse(st)
+        val joined = in match {
+          case Some(ib) => joinLeft.join(ib.withColumnRenamed("vid", "_mvid"),
+            col("vid") === col("_mvid"), "left_outer").drop("_mvid")
+          case None => program.emptyInboxCols.foldLeft(joinLeft)((df, c) => df.withColumn(c._1, c._2))
+        }
+        st = program.update(joined, tt, jobAgg)
+        if (tt == 2 && sys.env.contains("GRAFT_EXPLAIN")) st.explain("formatted")
+        if (tt < tEnd) in = Some(program.aggregate(exchange(program, st, e, style, Nil, blkLen)))
       }
-      // BARRIER materialization: eager localCheckpoint is the superstep
-      // sync point; it also truncates lineage (double-buffered value files
-      // of the reference, GraphDataServerDisk.java:1222-1258).
-      val newState = program.update(joined, t, jobAgg)
-        .repartition(p, col("vid"))
-        .localCheckpoint(true)
+      // ONE action per barrier. The lazy localCheckpoint materializes (and
+      // truncates lineage — the reference's double-buffered value files,
+      // GraphDataServerDisk.java:1222-1258) under the same job that
+      // computes the per-block SuperStepReport: respond counts, est.
+      // messages (sum of respond out-degrees), and the task aggregate,
+      // grouped by VBlock (VerBlockBeta analog).
+      val newState = st.localCheckpoint(false)
+      val blockRows = newState
+        .groupBy(expr(s"vid div $blkLen").as("blk")) // integer div: exact beyond 2^53 vids
+        .agg(
+          sum(when(col("respond"), 1L).otherwise(0L)).as("respond"),
+          sum(when(col("respond"), col("outdeg")).otherwise(0L)).as("estMsgs"),
+          sum(program.vertexAggCol).as("vagg"))
+        .collect()
+      val respondCount = blockRows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
+      val estMsgs = blockRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
+      val newJobAgg = blockRows.map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3)).sum
+      val respondBlocks = blockRows.filter(r => !r.isNullAt(1) && r.getLong(1) > 0).map(_.getLong(0))
 
-      // BARRIER: one aggregate action = the reference's superstep sync +
-      // SuperStepReport (taskAgg, respond counts) in a single pass.
-      val row = newState.agg(
-        sum(when(col("respond"), 1L).otherwise(0L)).as("respond"),
-        sum(when(col("respond"), col("outdeg")).otherwise(0L)).as("estMsgs"),
-        sum(program.vertexAggCol).as("vagg")).head()
-      val respondCount = Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val estMsgs = Option(row.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val newJobAgg = Option(row.get(2)).map(_.toString.toDouble).getOrElse(0.0)
-
-      // per-block respond stats (VerBlockBeta analog): drives pull-route
-      // pruning and is recorded as per-partition lineage at checkpoints.
-      val blockRows = newState.filter(col("respond"))
-        .groupBy(floor(col("vid") / blkLen).as("blk")).count().collect()
-      val respondBlocks = blockRows.map(_.getLong(0))
-
-      val halt = respondCount == 0L || program.halted(newJobAgg, t) || t == program.maxSupersteps
-      val style = cost.choose(t, respondCount, estMsgs, cfg.stateRowBytes,
+      val halt = respondCount == 0L || program.halted(newJobAgg, tEnd) || tEnd == program.maxSupersteps
+      style = cost.choose(tEnd, respondCount, estMsgs, cfg.stateRowBytes,
         combineRatio = math.min(1.0, (maxVid + 1).toDouble / math.max(1L, estMsgs)))
 
-      val doCkpt = ckpt.isDefined && (t % cfg.checkpointEvery == 0 || halt)
+      val doCkpt = ckpt.isDefined &&
+        (tEnd / cfg.checkpointEvery > (t - 1) / cfg.checkpointEvery || halt) // crossed a ckpt boundary
       val wallMs = (System.nanoTime() - t0) / 1000000
-      val m = SuperstepMetrics(t, style.tag, respondCount, estMsgs, newJobAgg,
-        cost.lastQ, respondBlocks.length, cfg.numBlocks, wallMs, doCkpt)
-      metrics += m
+      val m = SuperstepMetrics(tEnd, style.tag, respondCount, estMsgs, newJobAgg,
+        cost.lastQ, respondBlocks.length, cfg.numBlocks, wallMs / (tEnd - t + 1), doCkpt)
+      for (tt <- t to tEnd) metrics += m.copy(superstep = tt)
       var cur = newState
-      if (doCkpt) cur = ckpt.get.save(newState, t, newJobAgg, metrics.toSeq)
+      if (doCkpt) cur = ckpt.get.save(newState, tEnd, newJobAgg, metrics.toSeq)
 
       if (!halt) {
         val msgs = exchange(program, cur, e, style, respondBlocks.toSeq, blkLen)
@@ -141,26 +166,38 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       state.unpersist(blocking = false)
       state = cur
       jobAgg = newJobAgg
-      t += 1
+      t = tEnd + 1
     }
     e.unpersist(blocking = false)
+    staticBase.foreach(_.unpersist(blocking = false))
     (state, metrics.toSeq)
   }
 
-  /** Build the raw message relation msgs(vid, msg) for one exchange. */
+  /** Build the raw message relation msgs(vid, msg) for one exchange.
+   * Sender state columns keep their names (msgExpr may reference `vid`,
+   * the sender's own id — e.g. MIS broadcasts it); the edge's dst is
+   * aliased out FIRST and renamed in a second projection so it can never
+   * shadow the sender's `vid` via lateral column aliasing. */
   private def exchange(program: VertexProgram, state: DataFrame, e: DataFrame,
                        style: Style, respondBlocks: Seq[Long], blkLen: Long): DataFrame = {
-    val senders = state.filter(col("respond")).withColumnRenamed("vid", "src")
+    val senders = state.filter(col("respond"))
     // pull-route pruning (C13): when few source blocks respond, push a
     // block-membership predicate into the (big) edge relation scan.
     val eSrc =
       if (respondBlocks.nonEmpty && respondBlocks.length < cfg.numBlocks * cfg.blockPruneThreshold)
-        e.filter(floor(col("src") / blkLen).isin(respondBlocks: _*))
+        e.filter(expr(s"src div $blkLen").isin(respondBlocks: _*))
       else e
+    // Name-based (not Dataset-qualified) refs: the edge relation appears
+    // once per fused superstep in a single plan tree, and qualified refs
+    // would trip the ambiguous-self-join detector. `_graft_src` keeps the
+    // sender's own `vid` visible to msgExpr (MIS broadcasts it).
+    val s2 = senders.withColumn("_graft_src", col("vid"))
+    val cond = col("_graft_src") === col("src")
     val joined = style match {
-      case Pull => eSrc.join(broadcast(senders), "src") // b-PULL: gather on edge side
-      case Push => senders.join(eSrc.hint("shuffle_hash"), "src") // PUSH: scatter
+      case Pull => eSrc.join(broadcast(s2), cond) // b-PULL: gather on edge side
+      case Push => s2.join(eSrc.hint("shuffle_hash"), cond) // PUSH: scatter
     }
-    joined.select(col("dst").as("vid"), program.msgExpr.as("msg"))
+    joined.select(col("dst").as("_graft_dst"), program.msgExpr.as("msg"))
+      .select(col("_graft_dst").as("vid"), col("msg"))
   }
 }

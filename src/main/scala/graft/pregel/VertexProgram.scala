@@ -54,6 +54,14 @@ trait VertexProgram {
    * superstep 1 when no messages exist yet (keeps update() resolvable). */
   def emptyInboxCols: Seq[(String, Column)]
 
+  /** False when update() reads only the static vertex columns
+   * (vid, outdeg) plus the inbox — e.g. PageRank, whose new value is a
+   * pure function of the messages. The kernel then joins the inbox with
+   * the CACHED static vertex relation instead of the previous state:
+   * no per-superstep state shuffle, no lineage-truncation row copies,
+   * and linear (not exponential) logical-plan growth. */
+  def usesPriorState: Boolean = true
+
   def updateRule: UpdateRule
   def maxSupersteps: Int
 

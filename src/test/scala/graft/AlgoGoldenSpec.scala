@@ -63,6 +63,23 @@ class AlgoGoldenSpec extends SparkTestBase {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("MIS: independent and maximal on random graphs") {
+    for (seed <- Seq(4L, 9L)) {
+      val (vids, directed) = RefOracle.randomGraph(25, 45, seed)
+      val sym = (directed ++ directed.map(_.swap)).distinct
+      val st = MIS.statuses(pregel(), vertDF(vids.size.toLong), edgeDF(sym), 40)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(st.values.forall(v => v == 1L || v == 2L), s"undecided vertices remain: $st")
+      val inS = st.filter(_._2 == 1L).keySet
+      // independent: no edge inside S
+      assert(!sym.exists { case (a, b) => inS(a) && inS(b) }, "S is not independent")
+      // maximal: every excluded vertex has a neighbour in S
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for (v <- st.keys if st(v) == 2L)
+        assert(adj.getOrElse(v, Set()).exists(inS), s"vertex $v excluded without S-neighbour")
+    }
+  }
+
   test("SSSP deterministic weights match RefOracle") {
     val sym = Seq((0L,1L),(1L,0L),(1L,2L),(2L,1L),(0L,3L),(3L,0L),(3L,2L),(2L,3L))
     val got = SSSP.distances(pregel(), vertDF(4), edgeDF(sym), 0L, 10)

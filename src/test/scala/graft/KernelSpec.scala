@@ -65,6 +65,19 @@ class KernelSpec extends SparkTestBase {
     assert(s6 == Pull, "switch interval must lock the style")
   }
 
+  test("fused supersteps produce identical PageRank results") {
+    val (vids, directed) = RefOracle.randomGraph(30, 60, 21L)
+    val srcs = directed.map(_._1).toSet
+    val withLoops = directed ++ vids.filterNot(srcs).map(v => (v, v))
+    val verts = vertDF(vids.size.toLong)
+    def pr(fuse: Int) = PageRank.scores(
+      new Pregel(spark, PregelConfig(numPartitions = 4, fusedSupersteps = fuse)),
+      verts, edgeDF(withLoops), vids.size.toLong, 9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = pr(1); val b = pr(4)
+    for (v <- vids) assert(math.abs(a(v) - b(v)) < 1e-9, s"v=$v ${a(v)} vs ${b(v)}")
+  }
+
   test("push and pull exchanges produce identical supersteps (style parity)") {
     val (vids, directed) = RefOracle.randomGraph(20, 40, 3L)
     val sym = (directed ++ directed.map(_.swap)).distinct
