@@ -56,6 +56,9 @@ object Oracles {
   def mis(k: Int): String =
     withGraphChain(Seq(LinkGraph.undirectedSql), MIS.oracleSql(k))
 
+  def sa(source: Long, k: Int): String =
+    withGraphChain(Seq(LinkGraph.prEdgesSql), SA.oracleSql(source, k))
+
   val triangles: String = withGraph(
     Seq(LinkGraph.canonicalSql, TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),
     """SELECT v.vid, coalesce(t.triangles, 0) AS triangles

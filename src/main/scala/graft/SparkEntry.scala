@@ -26,6 +26,8 @@ object SparkEntry {
   val SSSP_ITERS = 25
   val SSSP_SOURCE = 0L
   val MIS_ITERS = 20 // even; pinned engine<->oracle
+  val SA_ITERS = 15
+  val SA_SOURCE = 2L // reference default source.vertex.id=2 (SABSP.java:52)
 
   private def pregel(spark: SparkSession): Pregel = {
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -82,6 +84,10 @@ object SparkEntry {
       val g = graphOf(s, dir)
       SSSP.distances(pregel(s), g.verts.select("vid"), g.undirected, SSSP_SOURCE, SSSP_ITERS).orderBy("vid")
     }),
+    "sa" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      SA.run(pregel(s), g.verts.select("vid"), g.prEdges, SA_SOURCE, SA_ITERS).orderBy("vid")
+    }),
     "mis" -> ((s, dir) => {
       val g = graphOf(s, dir)
       MIS.statuses(pregel(s), g.verts.select("vid"), g.undirected, MIS_ITERS).orderBy("vid")
@@ -132,6 +138,7 @@ object SparkEntry {
     "lpa" -> Oracles.lpa(LPA_ITERS),
     "sssp" -> Oracles.sssp(SSSP_SOURCE, SSSP_ITERS),
     "mis" -> Oracles.mis(MIS_ITERS),
+    "sa" -> Oracles.sa(SA_SOURCE, SA_ITERS),
     "triangles" -> Oracles.triangles,
     "triangle_count" -> Oracles.triangleCount,
     "dedup_exact" -> Dedup.exactSql,
