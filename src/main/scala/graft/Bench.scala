@@ -150,7 +150,7 @@ object Bench {
     def calRun(cores: Int): Double = {
       val s = session(cores, aqe = false)
       import s.implicits._
-      val rows = 30000000L
+      val rows = 20000000L
       s.range(rows / 10).groupBy((col("id") % 1000000).as("k")).agg(sum("id")).agg(count(lit(1))).head()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

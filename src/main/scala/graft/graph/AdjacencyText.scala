@@ -1,0 +1,57 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Reader for the reference's documented text input formats
+ * (/root/reference/README.md:75-77; parser io/EdgeParser.java:134-200),
+ * so existing HybridGraph datasets load directly:
+ *
+ *   unweighted:  srcId \t dst1:dst2:...
+ *   weighted:    srcId \t dst1:w1:dst2:w2:...   (EdgeParser.parseEdgeIdWeightArray)
+ *
+ * Vertices with no out-edges get a self-loop, exactly like the reference's
+ * parse rule (PageRankUserTool.java:42-46); the weighted variant gives the
+ * self-loop weight 0.1 (SPUserToolDeterm.parseGraphData:45-52). All pure
+ * column expressions — the scan stays in whole-stage codegen and the text
+ * file splits parallelize like any Spark text source.
+ */
+object AdjacencyText {
+
+  /** (src: long, dst: long) directed edges, dangling self-loops included. */
+  def edges(spark: SparkSession, path: String): DataFrame = {
+    val lines = parsed(spark, path)
+    lines.select(col("src"),
+        explode(when(size(col("parts")) > 0, col("parts")).otherwise(array(col("src").cast("string")))).as("d"))
+      .select(col("src"), col("d").cast("long").as("dst"))
+  }
+
+  /** (src, dst, weight) for the id:w:id:w variant. */
+  def weightedEdges(spark: SparkSession, path: String): DataFrame = {
+    val lines = parsed(spark, path)
+    val pairs = lines.select(col("src"),
+      when(size(col("parts")) > 0,
+        transform(sequence(lit(0), (expr("size(parts) div 2") - 1).cast("int")),
+          i => struct(
+            element_at(col("parts"), i * 2 + 1).cast("long").as("dst"),
+            element_at(col("parts"), i * 2 + 2).cast("double").as("weight"))))
+        .otherwise(array(struct(col("src").as("dst"), lit(0.1).as("weight")))).as("es"))
+    pairs.select(col("src"), explode(col("es")).as("e"))
+      .select(col("src"), col("e.dst"), col("e.weight"))
+  }
+
+  /** Bipartite filter: drop same-parity endpoints
+   * (EdgeParser.java:51-83 keeps only edges crossing odd/even sides). */
+  def bipartite(edges: DataFrame): DataFrame =
+    edges.filter(col("src") % 2 =!= col("dst") % 2)
+
+  private def parsed(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        split(col("value"), "\t").getItem(0).cast("long").as("src"),
+        when(size(split(col("value"), "\t")) > 1 && length(trim(split(col("value"), "\t").getItem(1))) > 0,
+          split(trim(split(col("value"), "\t").getItem(1)), ":"))
+          .otherwise(array().cast("array<string>")).as("parts"))
+}
