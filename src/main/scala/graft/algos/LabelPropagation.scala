@@ -66,6 +66,7 @@ final class LabelPropagation(maxIters: Int) extends VertexProgram {
 
   val updateRule: UpdateRule = UpdateAll
   val maxSupersteps: Int = maxIters
+  override val maxVidBound: Option[Long] = Some(ENC)
 }
 
 object LabelPropagation {

@@ -25,7 +25,12 @@ import graft.pregel._
  */
 final class MIS(maxIters: Int = 60) extends VertexProgram {
   val name = "mis"
-  private val MAX = lit(2147483647L)
+  // Long.MaxValue (not the reference's Integer.MAX_VALUE): vids are longs
+  // here, and `vid <= magg` must stay true when only dominated neighbours
+  // (who broadcast the sentinel) messaged — an Int sentinel silently broke
+  // selection for vid > 2^31. The oracle models statuses directly (min over
+  // unknown neighbours only), so it is sentinel-free and unchanged.
+  private val MAX = lit(Long.MaxValue)
 
   def initState(vertices: DataFrame): DataFrame =
     vertices.select(col("vid"), col("outdeg"),

@@ -54,6 +54,7 @@ final class SA(source: Long, maxIters: Int) extends VertexProgram {
   override def vertexAggCol: Column = when(col("respond"), 1.0).otherwise(0.0)
   val updateRule: UpdateRule = MsgDepend
   val maxSupersteps: Int = maxIters
+  override val maxVidBound: Option[Long] = Some(ENC)
 }
 
 object SA {

@@ -27,11 +27,15 @@ object AdjacencyText {
       .select(col("src"), col("d").cast("long").as("dst"))
   }
 
-  /** (src, dst, weight) for the id:w:id:w variant. */
+  /** (src, dst, weight) for the id:w:id:w variant. A line with fewer than
+   * 2 fields after the tab has no complete (dst, weight) pair — it is
+   * treated like a dangling vertex (self-loop, weight 0.1) instead of
+   * crashing the job (sequence(0, -1) would yield index 0 and element_at
+   * throws on it). A trailing unpaired field is ignored. */
   def weightedEdges(spark: SparkSession, path: String): DataFrame = {
     val lines = parsed(spark, path)
     val pairs = lines.select(col("src"),
-      when(size(col("parts")) > 0,
+      when(size(col("parts")) >= 2,
         transform(sequence(lit(0), (expr("size(parts) div 2") - 1).cast("int")),
           i => struct(
             element_at(col("parts"), i * 2 + 1).cast("long").as("dst"),

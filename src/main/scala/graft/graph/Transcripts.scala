@@ -35,7 +35,11 @@ object Transcripts {
     events
       .withColumn("turn_idx", (row_number().over(w) - lit(1)).cast("int"))
       .select(
-        concat(lit("conv-"), lpad(col("user_id").cast("string"), 6, "0")).as("conv_id"),
+        // width 20 > max BIGINT digits (19): lpad can never truncate, and
+        // zero-padding keeps lexicographic conv_id order == numeric user_id
+        // order (lpad TRUNCATES beyond its width — a 6-wide pad silently
+        // collided user_ids >= 10^6 into one conversation).
+        concat(lit("conv-"), lpad(col("user_id").cast("string"), 20, "0")).as("conv_id"),
         col("turn_idx"),
         when(col("event_type").isin("click", "view"), lit("user"))
           .when(col("event_type") === "error", lit("tool"))
@@ -53,7 +57,7 @@ object Transcripts {
    */
   def fromEventsSql: String =
     """transcripts AS (
-      |  SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS conv_id,
+      |  SELECT concat('conv-', lpad(CAST(user_id AS VARCHAR), 20, '0')) AS conv_id,
       |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
       |         CASE WHEN event_type IN ('click','view') THEN 'user'
       |              WHEN event_type = 'error' THEN 'tool'
@@ -82,7 +86,7 @@ object Transcripts {
     val turns = base.select(col("id").as("conv"), explode(sequence(lit(0), col("len") - 1)).as("turn_idx"))
     val h = abs(hash(col("conv"), col("turn_idx"), lit(seed))) // deterministic per (conv,turn)
     turns.select(
-      concat(lit("conv-"), lpad(col("conv").cast("string"), 9, "0")).as("conv_id"),
+      concat(lit("conv-"), lpad(col("conv").cast("string"), 20, "0")).as("conv_id"),
       col("turn_idx").cast("int").as("turn_idx"),
       element_at(array(lit("user"), lit("assistant"), lit("tool")), (col("turn_idx") % 3 + 1).cast("int")).as("role"),
       concat(lit("t-"), col("conv"), lit("-"), col("turn_idx"), lit("-"), h).as("text"),

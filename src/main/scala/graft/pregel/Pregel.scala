@@ -71,6 +71,9 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val e = edges.repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outdeg"))
     val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
+    program.maxVidBound.foreach(b => require(maxVid < b,
+      s"${program.name}: max vid $maxVid >= $b breaks the program's (count,id) long packing; " +
+        "re-id vertices or switch the aggregate to max(struct(cnt, id))"))
     val blkLen = math.max(1L, (maxVid + cfg.numBlocks) / cfg.numBlocks)
     val cost = new CostModel(cfg.mode, cfg.numExecutors, cfg.broadcastCapBytes)
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, program.name))

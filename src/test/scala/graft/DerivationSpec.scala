@@ -61,6 +61,23 @@ class DerivationSpec extends SparkTestBase {
     assert(outless.isEmpty)
   }
 
+  test("bucketed convOffsets == naive global-window prefix sum") {
+    val t = Transcripts.synthetic(spark, 137, 5, seed = 3L) // non-multiple of bucket count
+    val fast = LinkGraph.convOffsets(t).orderBy("conv_id").collect()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("conv_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = t.groupBy(col("conv_id")).agg(count(lit(1)).as("turns"))
+      .select(col("conv_id"), col("turns"),
+        coalesce(sum(col("turns")).over(w), lit(0L)).as("off"))
+      .orderBy("conv_id").collect()
+    assert(fast.sameElements(naive))
+  }
+
+  test("fromEvents (conv_id, turn_idx) is unique — lpad width cannot truncate user ids") {
+    val t = Transcripts.fromEvents(spark, "/root/testdata/sf0.001")
+    assert(t.groupBy("conv_id", "turn_idx").count().filter(col("count") > 1).isEmpty)
+  }
+
   test("fixed-K oracle horizon: CC and SSSP converge well before the pinned K at test scale") {
     val g = SparkEntry.graphOf(spark, "/root/testdata/sf0.001")
     import graft.pregel.{Pregel, PregelConfig}

@@ -37,6 +37,21 @@ for name, sql in sorted(oracles.items()):
     hs = hashlib.md5(s.to_csv(index=False).encode()).hexdigest()
     ho = hashlib.md5(o.to_csv(index=False).encode()).hexdigest()
     if hs != ho:
+        # Float columns are rounded to 6dp in each engine independently, so a
+        # reduction-order difference near a .5 boundary at the 7th digit can
+        # flip the 6th decimal. Fall back to allclose before declaring a miss.
+        import numpy as np
+        floatcols = [c for c in s.columns if str(s[c].dtype).startswith("float")]
+        if floatcols:
+            others = [c for c in s.columns if c not in floatcols]
+            exact_ok = all(s[c].equals(o[c]) for c in others)
+            close_ok = all(np.allclose(s[c].to_numpy(), o[c].to_numpy(),
+                                       atol=2e-6, rtol=0, equal_nan=True)
+                           for c in floatcols)
+            if exact_ok and close_ok:
+                print(f"{name}: OK ({len(s)} rows, float allclose)")
+                continue
+    if hs != ho:
         diff = (s != o)
         ndiff = diff.any(axis=1).sum()
         print(f"{name}: HASH mismatch ({ndiff} differing rows of {len(s)})")
