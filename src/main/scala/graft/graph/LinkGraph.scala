@@ -34,12 +34,42 @@ import org.apache.spark.sql.expressions.Window
  */
 object LinkGraph {
 
-  /** Per-conversation offsets; small table (one row per conversation). */
+  /** Per-conversation exclusive prefix sum of turn counts in conv_id order,
+   * as a bucketed two-phase prefix sum (the RDD zipWithIndex shape):
+   *
+   *   1. range-partition conversations by conv_id into P ordered buckets;
+   *   2. collect the P per-bucket turn totals (P rows, driver-trivial) and
+   *      prefix-sum them into per-bucket base offsets, broadcast back;
+   *   3. window PARTITIONED BY bucket for the intra-bucket prefix.
+   *
+   * off(conv) is identical to a global ordered window (prefix sums are
+   * associative, so bucket boundaries don't affect the result) but no task
+   * ever sees more than ~1/P of the conversations — the previous
+   * implementation's unpartitioned window pulled every conversation into
+   * ONE task (`WindowExec: No Partition Defined` at the root of every graph
+   * derivation; a single-task sort of ~10^9 rows at north-rule scale).
+   *
+   * The eager localCheckpoint pins the bucket assignment: range boundaries
+   * are sampled per execution, and the bucket totals (job 1) MUST see the
+   * same boundaries as the window (job 2). Checkpointed blocks cannot be
+   * recomputed differently. */
   def convOffsets(transcripts: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("conv_id")).rowsBetween(Window.unboundedPreceding, -1)
-    transcripts.groupBy(col("conv_id")).agg(count(lit(1)).as("turns"))
+    val spark = transcripts.sparkSession
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val bucketed = transcripts.groupBy(col("conv_id")).agg(count(lit(1)).as("turns"))
+      .repartitionByRange(p, col("conv_id"))
+      .withColumn("bucket", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = bucketed.groupBy("bucket").agg(sum(col("turns")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (b, t)) => (b, acc + t) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val baseDf = spark.createDataFrame(bases).toDF("bucket", "base")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("conv_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(baseDf), "bucket")
       .select(col("conv_id"), col("turns"),
-        coalesce(sum(col("turns")).over(w), lit(0L)).as("off"))
+        (col("base") + coalesce(sum(col("turns")).over(w), lit(0L))).as("off"))
   }
 
   /** vertices(vid, conv_id, turn_idx, role, tool, turns) — dense vid. */
