@@ -28,6 +28,8 @@ object SparkEntry {
   val MIS_ITERS = 20 // even; pinned engine<->oracle
   val SA_ITERS = 15
   val SA_SOURCE = 2L // reference default source.vertex.id=2 (SABSP.java:52)
+  val MM_ITERS = 25 // == 1 (mod 3): both engines stop on a phase boundary
+  val WEIGHTED_FIXTURE = "/root/repo/fixtures/weighted_adj.txt"
 
   private def pregel(spark: SparkSession): Pregel = {
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -84,6 +86,14 @@ object SparkEntry {
       val g = graphOf(s, dir)
       SSSP.distances(pregel(s), g.verts.select("vid"), g.undirected, SSSP_SOURCE, SSSP_ITERS).orderBy("vid")
     }),
+    // reference text-format path, end-to-end: parse the committed weighted
+    // adjacency fixture (io/EdgeParser.java:166-200 semantics) and run
+    // weighted SSSP over it — gates the S5 reader, not just its spec
+    "sssp_weighted" -> ((s, dir) => {
+      val e = graph.AdjacencyText.weightedEdges(s, WEIGHTED_FIXTURE)
+      val verts = e.select(col("src").as("vid")).distinct()
+      SSSP.weightedDistances(pregel(s), verts, e, SSSP_SOURCE, SSSP_ITERS).orderBy("vid")
+    }),
     "sa" -> ((s, dir) => {
       val g = graphOf(s, dir)
       SA.run(pregel(s), g.verts.select("vid"), g.prEdges, SA_SOURCE, SA_ITERS).orderBy("vid")
@@ -91,6 +101,11 @@ object SparkEntry {
     "mis" -> ((s, dir) => {
       val g = graphOf(s, dir)
       MIS.statuses(pregel(s), g.verts.select("vid"), g.undirected, MIS_ITERS).orderBy("vid")
+    }),
+    "mm" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      MM.matching(pregel(s), g.verts.select("vid"),
+        graph.AdjacencyText.bipartite(g.undirected), MM_ITERS).orderBy("vid")
     }),
     "triangles" -> ((s, dir) => {
       val g = graphOf(s, dir)
@@ -103,10 +118,12 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => Dedup.minhashLsh(docs(s, dir), MH_K, MH_BANDS, MH_MINJ)),
     "text_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), SH_BITS).orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), SH_BITS, SH_MAXHAM)),
-    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), NG_N, NG_MINJ)),
-    "dedup_embedding" -> ((s, dir) => Similarity.cosinePairs(emb(s, dir), EMB_MINCOS)),
+    "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), NG_N, NG_MINJ, NG_MAXDF)),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.cosinePairs(emb(s, dir), EMB_MINCOS, LSH_TABLES, LSH_BITS, LSH_MAXBKT)),
     "ann_topk" -> ((s, dir) => Similarity.annTopK(emb(s, dir), ANN_K)),
-    "ann_lsh" -> ((s, dir) => Similarity.annLsh(emb(s, dir), ANN_LSH_K, ANN_LSH_BITS)),
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.annLsh(emb(s, dir), ANN_LSH_K, LSH_BITS, LSH_TABLES, LSH_MAXBKT)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
@@ -116,10 +133,10 @@ object SparkEntry {
 
   // pipeline knobs pinned engine<->oracle
   val MH_K = 16; val MH_BANDS = 4; val MH_MINJ = 0.2
-  val SH_BITS = 16; val SH_MAXHAM = 3
-  val NG_N = 3; val NG_MINJ = 0.8
-  val EMB_MINCOS = 0.2
-  val ANN_K = 5; val ANN_LSH_K = 3; val ANN_LSH_BITS = 8
+  val SH_BITS = 32; val SH_MAXHAM = 3
+  val NG_N = 3; val NG_MINJ = 0.8; val NG_MAXDF = 0.5
+  val EMB_MINCOS = 0.2; val LSH_TABLES = 4; val LSH_BITS = 8; val LSH_MAXBKT = 10000
+  val ANN_K = 5; val ANN_LSH_K = 3
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -137,7 +154,9 @@ object SparkEntry {
     "cc" -> Oracles.cc(CC_ITERS),
     "lpa" -> Oracles.lpa(LPA_ITERS),
     "sssp" -> Oracles.sssp(SSSP_SOURCE, SSSP_ITERS),
+    "sssp_weighted" -> Oracles.ssspWeighted(WEIGHTED_FIXTURE, SSSP_SOURCE, SSSP_ITERS),
     "mis" -> Oracles.mis(MIS_ITERS),
+    "mm" -> Oracles.mm(MM_ITERS),
     "sa" -> Oracles.sa(SA_SOURCE, SA_ITERS),
     "triangles" -> Oracles.triangles,
     "triangle_count" -> Oracles.triangleCount,
@@ -145,10 +164,10 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashLshSql(MH_K, MH_BANDS, MH_MINJ),
     "text_simhash" -> Dedup.simhashSql(SH_BITS),
     "dedup_simhash" -> Dedup.simhashPairsSql(SH_BITS, SH_MAXHAM),
-    "dedup_ngram" -> Dedup.ngramJaccardSql(NG_N, NG_MINJ),
-    "dedup_embedding" -> Similarity.cosinePairsSql(EMB_MINCOS),
+    "dedup_ngram" -> Dedup.ngramJaccardSql(NG_N, NG_MINJ, NG_MAXDF),
+    "dedup_embedding" -> Similarity.cosinePairsSql(EMB_MINCOS, LSH_TABLES, LSH_BITS, LSH_MAXBKT),
     "ann_topk" -> Similarity.annTopKSql(ANN_K),
-    "ann_lsh" -> Similarity.annLshSql(ANN_LSH_K, ANN_LSH_BITS),
+    "ann_lsh" -> Similarity.annLshSql(ANN_LSH_K, LSH_BITS, LSH_TABLES, LSH_MAXBKT),
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_tokens" -> TextAnalysis.tokenCountsSql,

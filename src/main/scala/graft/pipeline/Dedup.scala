@@ -146,9 +146,11 @@ object Dedup {
        |HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= $minJaccard
        |ORDER BY c.a, c.b""".stripMargin
 
-  /** SimHash (16-bit here; width is a knob — 64-bit at scale): per-token
-   * md5 bits, majority vote per bit position, >=0 breaks ties to 1. */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+  /** SimHash (32-bit default; any width up to 63 — sum(2^j, j<63) stays
+   * inside positive BIGINT in both engines, so 63 is the portable max):
+   * per-token md5 bits, majority vote per bit position, >=0 ties to 1. */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits <= 63, "bit 63 would overflow the signed-long encoding both engines share")
     val tk = tokens(docs)
     val sums = (0 until bits).map { j =>
       // hex nibble value via conv(char,16,10) == DuckDB strpos(hex,c)-1
@@ -163,7 +165,7 @@ object Dedup {
     agg.select(col("doc_id"), sh.as("simhash"))
   }
 
-  def simhashSql(bits: Int = 16): String = {
+  def simhashSql(bits: Int = 32): String = {
     val sums = (0 until bits).map { j =>
       s"sum(((((strpos('0123456789abcdef', substr(md5(word), ${j / 4 + 1}, 1)) - 1) >> ${j % 4}) & 1) * 2) - 1) AS s$j"
     }.mkString(",\n    ")
@@ -177,18 +179,45 @@ object Dedup {
        |SELECT doc_id, CAST($enc AS BIGINT) AS simhash FROM agg ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash near-dup pairs within Hamming distance `maxHam`. */
-  def simhashPairs(docs: DataFrame, bits: Int = 16, maxHam: Int = 3): DataFrame = {
-    val s = simhash(docs, bits)
-    val a = s.select(col("doc_id").as("a"), col("simhash").as("ha"))
-    val b = s.select(col("doc_id").as("b"), col("simhash").as("hb"))
-    a.join(b, col("a") < col("b"))
+  /** SimHash near-dup pairs within Hamming distance `maxHam`, via lossless
+   * pigeonhole banding: the signature is split into `maxHam + 1` bands, and
+   * any pair within Hamming distance maxHam differs in at most maxHam bit
+   * positions, so it must agree EXACTLY on >= 1 band. Candidates therefore
+   * come from an equi-join on (band, band bits) — bucket-local, no recall
+   * loss, identical result set to the all-pairs formulation (which the
+   * oracle keeps, since DuckDB at gate scale handles O(n^2) fine while a
+   * 100 TB Spark plan cannot). Exact Hamming verification runs on the
+   * candidate pairs only. Band width (bits / (maxHam+1)) sets the bucket
+   * count per band — 2^8 at the 32-bit default; widen `bits` at real scale
+   * (e.g. 60-bit signature -> 15-bit bands -> 32k buckets/band). */
+  def simhashPairs(docs: DataFrame, bits: Int = 32, maxHam: Int = 3): DataFrame = {
+    val s = simhash(docs, bits).cache()
+    val nBands = maxHam + 1
+    val baseW = bits / nBands
+    val rem = bits % nBands
+    // band b covers [lo, lo + w): first `rem` bands get one extra bit
+    val bandDefs = (0 until nBands).scanLeft((0, 0, 0)) { case ((_, lo, w), b) =>
+      (b, lo + w, baseW + (if (b < rem) 1 else 0))
+    }.tail
+    val bandCols = bandDefs.map { case (b, lo, w) =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("bb"))
+    }
+    val banded = s.select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.bb").as("bb"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bb") === col("y.bb") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cands
+      .join(s.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+      .join(s.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
       .select(col("a"), col("b"), bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHam)
       .orderBy("a", "b")
   }
 
-  def simhashPairsSql(bits: Int = 16, maxHam: Int = 3): String = {
+  def simhashPairsSql(bits: Int = 32, maxHam: Int = 3): String = {
     val inner = simhashSql(bits).replace("ORDER BY doc_id", "")
     s"""WITH s AS MATERIALIZED ($inner)
        |SELECT a.doc_id AS a, b.doc_id AS b,
@@ -198,15 +227,31 @@ object Dedup {
        |ORDER BY a, b""".stripMargin
   }
 
-  /** Character n-gram Jaccard near-dups (exact all-pairs via gram join —
-   * quadratic only within gram buckets, not globally). */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8): DataFrame = {
-    val grams = docs
+  /** Character n-gram Jaccard near-dups. The pair join is bucket-local per
+   * gram, but ubiquitous grams ("the", "ing") create quadratic buckets at
+   * scale; grams present in more than `maxDfFrac` of all documents are
+   * dropped BEFORE sizing and intersecting (they carry no discriminating
+   * signal — a gram shared by most of the corpus says nothing about any
+   * one pair). The hot-gram list is tiny by construction (few grams can
+   * exceed a corpus-fraction cap), so it broadcasts into an anti-join.
+   * The oracle applies the identical cap. Recall effect is small but real:
+   * borderline pairs move in both directions (measured at sf0.001: 2 of
+   * 28 pairs drop below J=0.8, none enter; PipelineSpec asserts >= 0.9
+   * pair-set overlap) — an idf-flavored trade most dedup pipelines
+   * consider an improvement, not a loss. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.8,
+                   maxDfFrac: Double = 0.5): DataFrame = {
+    val allGrams = docs
       .select(col("doc_id"), col("text"), explode(
         when(length(col("text")) >= n, sequence(lit(1), length(col("text")) - (n - 1)))
           .otherwise(array())).as("pos"))
       .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("g"))
-      .distinct()
+      .distinct().cache()
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("nd"))
+    val hot = allGrams.groupBy("g").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("nd") * maxDfFrac).select("g")
+    val grams = allGrams.join(broadcast(hot), Seq("g"), "left_anti")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ga = grams.select(col("doc_id").as("a"), col("g"))
     val gb = grams.select(col("doc_id").as("b"), col("g"))
@@ -221,10 +266,19 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  def ngramJaccardSql(n: Int = 3, minJaccard: Double = 0.8): String =
-    s"""WITH grams AS MATERIALIZED (
+  def ngramJaccardSql(n: Int = 3, minJaccard: Double = 0.8,
+                      maxDfFrac: Double = 0.5): String =
+    s"""WITH allgrams AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, substr(text, CAST(pos AS INT), $n) AS g
        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - ${n - 2})) AS pos FROM documents)
+       |),
+       |hot AS MATERIALIZED (
+       |  SELECT g FROM (SELECT g, count(*) AS df FROM allgrams GROUP BY g)
+       |  CROSS JOIN (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+       |  WHERE df > nd * $maxDfFrac
+       |),
+       |grams AS MATERIALIZED (
+       |  SELECT doc_id, g FROM allgrams WHERE g NOT IN (SELECT g FROM hot)
        |),
        |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
        |inter AS MATERIALIZED (

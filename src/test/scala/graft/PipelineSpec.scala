@@ -42,14 +42,85 @@ class PipelineSpec extends SparkTestBase {
     assert(r1.join(mx, "vec_id").filter(col("cos") =!= col("mc")).isEmpty)
   }
 
-  test("ann_lsh buckets: every reported neighbor shares the sign bucket") {
-    val withB = emb.withColumn("bkt", Similarity.bucketExpr(col("embedding"), 8))
-      .select(col("vec_id"), col("bkt"))
-    val out = Similarity.annLsh(emb, 3, 8)
-    val joined = out
-      .join(withB.withColumnRenamed("vec_id", "vec_id").withColumnRenamed("bkt", "ba"), "vec_id")
-      .join(withB.withColumnRenamed("vec_id", "neighbor").withColumnRenamed("bkt", "bb"), "neighbor")
-    assert(joined.filter(col("ba") =!= col("bb")).isEmpty)
+  test("ann_lsh buckets: every reported neighbor shares >= 1 LSH table bucket") {
+    val out = Similarity.annLsh(emb, 3, 8, 4).collect()
+    val bkts = (0 until 4).map(t => emb.select(col("vec_id"),
+      lit(t).as("t"), Similarity.bucketExpr(col("embedding"), 8, t * 8).as("bkt")))
+      .reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.forall(r => (0 until 4).exists(t =>
+      bkts((r.getLong(0), t)) == bkts((r.getLong(2), t))))) // (vec_id, rank, neighbor, cos)
+  }
+
+  test("banded simhashPairs == brute-force all-pairs (pigeonhole is lossless)") {
+    val banded = Dedup.simhashPairs(docs, 32, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val s = Dedup.simhash(docs, 32)
+    val brute = s.select(col("doc_id").as("a"), col("simhash").as("ha"))
+      .join(s.select(col("doc_id").as("b"), col("simhash").as("hb")), col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+  }
+
+  test("ngram hot-gram cap: bounded, measured recall effect at gate thresholds") {
+    val capped = Dedup.ngramJaccard(docs, 3, 0.8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.ngramJaccard(docs, 3, 0.8, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The cap re-weights borderline pairs in BOTH directions (removing a
+    // corpus-wide gram shrinks numerator for pairs that shared it, shrinks
+    // denominator for pairs that didn't) — measured at sf0.001: 2 of 28
+    // pairs move below the 0.8 threshold, none enter. Assert the effect
+    // stays a sliver rather than pretending it is nil.
+    val overlap = (capped intersect uncapped).size.toDouble / math.max(1, uncapped.size)
+    info(f"pair-set overlap capped-vs-uncapped: $overlap%.3f " +
+      s"(only-capped=${(capped -- uncapped).size}, only-uncapped=${(uncapped -- capped).size})")
+    assert(overlap >= 0.9, s"cap moved more than 10% of pairs: $overlap")
+  }
+
+  /** Planted-cluster embeddings: 40 clusters x 10 vectors, per-dim center
+   * magnitude bounded away from 0 (|c| in [0.2, 1.0]) with +-0.05 noise —
+   * the realistic regime for trained embeddings (stable sign patterns).
+   * The driver's synthetic embeddings are isotropic noise (pair cosines
+   * concentrate near 0), where NO sublinear index can track exact top-k;
+   * recall there is printed for the record, asserted only here. */
+  private def plantedEmb = {
+    val cdiv = expr("id div 10")
+    spark.range(400).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)), d => {
+        val h1 = abs(hash(cdiv, d, lit(7)))
+        val sign = when(h1 % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+        val mag = lit(0.2) + (h1 % 1000).cast("double") / 1250.0
+        val noise = (abs(hash(col("id"), d, lit(13))) % 100).cast("double") / 1000.0 - 0.05
+        (sign * mag + noise).cast("float")
+      }).as("embedding"))
+  }
+
+  test("multi-table LSH ANN: recall >= 0.9 vs exact top-k on clustered embeddings") {
+    val pe = plantedEmb.cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.annTopK(pe, 3))
+    val approx = pairs(Similarity.annLsh(pe, 3, 8, 4))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered recall $recall < 0.9")
+    // isotropic driver data: report, don't assert (worst case for any index)
+    val exactIso = pairs(Similarity.annTopK(emb, 3))
+    val approxIso = pairs(Similarity.annLsh(emb, 3, 8, 4))
+    info(f"isotropic-data recall: ${(exactIso intersect approxIso).size.toDouble / exactIso.size}%.3f")
+  }
+
+  test("cosinePairs candidates: every reported pair shares >= 1 LSH table bucket") {
+    val out = Similarity.cosinePairs(emb, 0.2, 4, 8).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.2))
+    val bkts = (0 until 4).map(t => emb.select(col("vec_id"),
+      lit(t).as("t"), Similarity.bucketExpr(col("embedding"), 8, t * 8).as("bkt")))
+      .reduce(_ unionByName _)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.forall(r => (0 until 4).exists(t =>
+      bkts((r.getLong(0), t)) == bkts((r.getLong(1), t)))))
   }
 
   test("language id is deterministic and defaults to 'und' on no hits") {
