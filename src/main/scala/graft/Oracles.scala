@@ -56,6 +56,14 @@ object Oracles {
   def mis(k: Int): String =
     withGraphChain(Seq(LinkGraph.undirectedSql), MIS.oracleSql(k))
 
+  def mm(k: Int): String =
+    withGraphChain(Seq(LinkGraph.undirectedSql), MM.oracleSql(k))
+
+  /** Standalone oracle over the committed reference-format text fixture. */
+  def ssspWeighted(path: String, source: Long, k: Int): String =
+    materialize("WITH " + graft.graph.AdjacencyText.weightedOracleCtes(path) +
+      ",\n" + SSSP.relaxSql(source, k))
+
   def sa(source: Long, k: Int): String =
     withGraphChain(Seq(LinkGraph.prEdgesSql), SA.oracleSql(source, k))
 
