@@ -59,18 +59,23 @@ object SSSP {
   def distances(pregel: Pregel, vertices: DataFrame, undirected: DataFrame,
                 source: Long, maxIters: Int = 100): DataFrame = {
     val weighted = undirected.select(col("src"), col("dst"), weightCol)
+    weightedDistances(pregel, vertices, weighted, source, maxIters)
+  }
+
+  /** SSSP over an explicit (src, dst, weight) relation — e.g. the
+   * reference text format via AdjacencyText.weightedEdges. */
+  def weightedDistances(pregel: Pregel, vertices: DataFrame, weighted: DataFrame,
+                        source: Long, maxIters: Int = 100): DataFrame = {
     val (state, _) = pregel.run(new SSSP(source, maxIters), vertices, weighted)
     state.filter(col("dist") < 1e299).select(col("vid"), col("dist"))
   }
 
-  /** Fixed-K unrolled relax oracle; requires `vertices`,`uedges` CTEs. */
-  def oracleSql(source: Long, k: Int): String = {
+  /** Fixed-K unrolled relax chain d1..dK + final select; requires
+   * `vertices`(vid) and `wedges`(src, dst, weight) CTEs. */
+  def relaxSql(source: Long, k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""wedges AS (
-         |  SELECT src, dst, CAST((src*31 + dst*17) % 97 + 1 AS DOUBLE)/10.0 AS weight FROM uedges
-         |),
-         |d1 AS (SELECT vid, CASE WHEN vid = $source THEN 0.0 ELSE 1e300 END AS dist FROM vertices)""".stripMargin)
+      s"""d1 AS (SELECT vid, CASE WHEN vid = $source THEN 0.0 ELSE 1e300 END AS dist FROM vertices)""".stripMargin)
     for (t <- 2 to k) {
       sb.append(s""",
         |d$t AS (
@@ -88,4 +93,12 @@ object SSSP {
     sb.append(s"\nSELECT vid, dist FROM d$k WHERE dist < 1e299 ORDER BY vid")
     sb.toString
   }
+
+  /** Fixed-K oracle over the derived graph's deterministic weights;
+   * requires `vertices`,`uedges` CTEs. */
+  def oracleSql(source: Long, k: Int): String =
+    s"""wedges AS (
+       |  SELECT src, dst, CAST((src*31 + dst*17) % 97 + 1 AS DOUBLE)/10.0 AS weight FROM uedges
+       |),
+       |""".stripMargin + relaxSql(source, k)
 }

@@ -50,6 +50,28 @@ object AdjacencyText {
   def bipartite(edges: DataFrame): DataFrame =
     edges.filter(col("src") % 2 =!= col("dst") % 2)
 
+  /** DuckDB CTEs parsing the same weighted text file: `vertices`(vid) and
+   * `wedges`(src, dst, weight) — the mirror of [[weightedEdges]] so the
+   * reference text format is correctness-gated end-to-end, not just
+   * spec-tested. */
+  def weightedOracleCtes(path: String): String =
+    s"""raw AS MATERIALIZED (
+       |  SELECT * FROM read_csv('$path', delim='\\t', header=false,
+       |    columns={'src':'BIGINT','rest':'VARCHAR'}, null_padding=true, auto_detect=false, quote='')
+       |),
+       |vertices AS MATERIALIZED (SELECT DISTINCT src AS vid FROM raw),
+       |parsedw AS MATERIALIZED (
+       |  SELECT src, string_split(rest, ':') AS parts FROM raw
+       |  WHERE rest IS NOT NULL AND len(string_split(rest, ':')) >= 2
+       |),
+       |wedges AS MATERIALIZED (
+       |  SELECT src, CAST(parts[2*i-1] AS BIGINT) AS dst, CAST(parts[2*i] AS DOUBLE) AS weight
+       |  FROM (SELECT src, parts, unnest(range(1, len(parts)//2 + 1)) AS i FROM parsedw)
+       |  UNION ALL
+       |  SELECT src, src AS dst, 0.1 AS weight FROM raw
+       |  WHERE rest IS NULL OR len(string_split(rest, ':')) < 2
+       |)""".stripMargin
+
   private def parsed(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
       .filter(length(trim(col("value"))) > 0)
