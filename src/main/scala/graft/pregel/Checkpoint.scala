@@ -12,9 +12,9 @@ import scala.jdk.CollectionConverters._
  * CheckPointManager.java:61-122 and the ARCHIVE/RECOVER command cycle in
  * bsp/JobInProgress.java:862-883).
  *
- * Layout (snapshot-per-superstep, Iceberg-shaped — swap the parquet write
- * for `writeTo(table).createOrReplace()` when an Iceberg catalog is on the
- * classpath; none ships in this sandbox):
+ * Storage goes through [[SnapshotStore]] (parquet default,
+ * [[IcebergSnapshotStore]] when a catalog is configured). Layout
+ * (snapshot-per-superstep):
  *   <dir>/<algo>/step=<t>/state/      vertex-state parquet snapshot
  *   <dir>/<algo>/step=<t>/meta.json   jobAgg + per-partition row counts
  *                                     + full superstep metrics history
@@ -23,13 +23,54 @@ import scala.jdk.CollectionConverters._
  * (replaces the reference's value-<ite> file double-buffering,
  * GraphDataServerDisk.java:1222-1258).
  */
-final class Checkpoint(spark: SparkSession, dir: String, algo: String) {
+/** Where superstep snapshots live — the seam between the checkpoint
+ * protocol (what to save when, resume ordering, metrics lineage) and the
+ * storage format. The north rule names Iceberg for checkpoints; no catalog
+ * ships in this sandbox, so [[ParquetSnapshotStore]] is the tested default
+ * and [[IcebergSnapshotStore]] is the same contract one classpath away. */
+trait SnapshotStore {
+  /** Persist one superstep's vertex state under `ident` (replacing any
+   * previous incomplete attempt); `complete(ident)` must be true after. */
+  def write(state: DataFrame, ident: String): Unit
+  def read(ident: String): DataFrame
+  def complete(ident: String): Boolean
+}
+
+/** Snapshot-per-superstep directories of parquet (ident = a path). */
+final class ParquetSnapshotStore(spark: SparkSession) extends SnapshotStore {
+  def write(state: DataFrame, ident: String): Unit =
+    state.write.mode("overwrite").parquet(ident)
+  def read(ident: String): DataFrame = spark.read.parquet(ident)
+  def complete(ident: String): Boolean =
+    Files.exists(Paths.get(ident, "_SUCCESS"))
+}
+
+/** Iceberg tables via the DataFrameWriterV2 API (ident = a table name in
+ * `catalog`). Requires an Iceberg catalog on the classpath + session
+ * config (spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog);
+ * none ships in this sandbox, so this impl is compile-checked only —
+ * createOrReplace gives the same replace-then-atomically-commit semantics
+ * the parquet impl gets from overwrite + _SUCCESS. */
+final class IcebergSnapshotStore(spark: SparkSession, catalog: String) extends SnapshotStore {
+  private def table(ident: String): String =
+    catalog + "." + ident.replaceAll("[^A-Za-z0-9_.]", "_")
+  def write(state: DataFrame, ident: String): Unit =
+    state.writeTo(table(ident)).createOrReplace()
+  def read(ident: String): DataFrame = spark.table(table(ident))
+  def complete(ident: String): Boolean = spark.catalog.tableExists(table(ident))
+}
+
+final class Checkpoint(spark: SparkSession, dir: String, algo: String,
+                       store: SnapshotStore) {
+  def this(spark: SparkSession, dir: String, algo: String) =
+    this(spark, dir, algo, new ParquetSnapshotStore(spark))
+
   private def stepDir(t: Int): String = s"$dir/$algo/step=$t"
 
   /** Write snapshot + metadata; return the reloaded (lineage-free) state. */
   def save(state: DataFrame, t: Int, jobAgg: Double, history: Seq[SuperstepMetrics]): DataFrame = {
     val sd = stepDir(t)
-    state.write.mode("overwrite").parquet(s"$sd/state")
+    store.write(state, s"$sd/state")
     val parts = state.groupBy(spark_partition_id().as("pid")).count()
       .collect().map(r => s"""{"pid":${r.getInt(0)},"rows":${r.getLong(1)}}""")
     val hist = history.map(m =>
@@ -42,7 +83,7 @@ final class Checkpoint(spark: SparkSession, dir: String, algo: String) {
          |"metrics":[${hist.mkString(",")}]}""".stripMargin
     Files.createDirectories(Paths.get(sd))
     Files.writeString(Paths.get(s"$sd/meta.json"), json)
-    spark.read.parquet(s"$sd/state")
+    store.read(s"$sd/state")
   }
 
   /** Most recent complete snapshot: (superstep, state, jobAgg). */
@@ -57,10 +98,10 @@ final class Checkpoint(spark: SparkSession, dir: String, algo: String) {
       val meta = Files.readString(Paths.get(s"${stepDir(t)}/meta.json"))
       val jobAgg = """"jobAgg":([-0-9.eE]+)""".r.findFirstMatchIn(meta)
         .map(_.group(1).toDouble).getOrElse(0.0)
-      (t, spark.read.parquet(s"${stepDir(t)}/state"), jobAgg)
+      (t, store.read(s"${stepDir(t)}/state"), jobAgg)
     }
   }
 
   private def complete(p: Path): Boolean =
-    Files.exists(p.resolve("state/_SUCCESS")) && Files.exists(p.resolve("meta.json"))
+    store.complete(p.resolve("state").toString) && Files.exists(p.resolve("meta.json"))
 }

@@ -47,6 +47,16 @@ class KernelSpec extends SparkTestBase {
     assert(meta.contains("\"style\":"), "exchange style missing from metrics")
   }
 
+  test("SnapshotStore seam: parquet impl round-trips through the interface") {
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val store: SnapshotStore = new ParquetSnapshotStore(spark)
+    val ident = s"$dir/algo/step=3/state"
+    assert(!store.complete(ident))
+    store.write(vertDF(7), ident)
+    assert(store.complete(ident))
+    assert(store.read(ident).collect().map(_.getLong(0)).sorted.sameElements(0L until 7L))
+  }
+
   test("cost model: dead-band keeps style, switch locks for w supersteps, cap forces push") {
     val cm = new CostModel(Hybrid, numExecutors = 4, broadcastCapBytes = 1000)
     // superstep <= 2: never switches (starts Pull)
