@@ -36,7 +36,22 @@ case class PregelConfig(
      * supersteps become one pipelined plan, dividing per-superstep driver
      * overhead by k. The reference's mini-superstep batching analog
      * (BSPTask.runIteration:675-711) in reverse. */
-    fusedSupersteps: Int = 1)
+    fusedSupersteps: Int = 1,
+    /** Hub salting: a source vertex whose out-degree reaches
+     * max(saltMinDeg, 2 * edges/partition) would otherwise land its whole
+     * out-edge explosion in ONE task of the PUSH senders->edges join. Such
+     * sources' edges are split across all partitions by hash(dst) and the
+     * (few) hot senders are replicated to every salt value — bounded task
+     * size at the cost of re-shuffling the respond relation, so the path
+     * activates only when hot sources exist. saltMinDeg <= 0 disables. */
+    saltMinDeg: Long = 1L << 16,
+    /** Max number of salted hub sources (driver-held list). */
+    maxHotSources: Int = 10000,
+    /** Storage level for the per-superstep state materialization
+     * (localCheckpoint). MEMORY_AND_DISK_SER halves the state's memory
+     * traffic when spark.rdd.compress=true — measurably better scaling on
+     * bandwidth-bound hosts at the cost of ser/deser CPU. */
+    stateStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK)
 
 /**
  * The superstep kernel — Spark-native analog of the reference's BSP driver
@@ -68,8 +83,29 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
    *  @return (final state, per-superstep metrics) */
   def run(program: VertexProgram, vertices: DataFrame, edges: DataFrame): (DataFrame, Seq[SuperstepMetrics]) = {
     val p = cfg.numPartitions
-    val e = edges.repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outdeg"))
+    // out-degrees from the raw relation (same rows as from the partitioned
+    // one) so the hub decision can shape the edge partitioning itself
+    val deg = edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degStats = deg.agg(sum(col("outdeg")), max(col("outdeg"))).head()
+    val edgeCount = if (degStats.isNullAt(0)) 0L else degStats.getLong(0)
+    val hubCut = math.max(cfg.saltMinDeg, 2L * edgeCount / math.max(1, p))
+    val hotDf =
+      if (cfg.saltMinDeg > 0 && !degStats.isNullAt(1) && degStats.getLong(1) >= hubCut)
+        deg.filter(col("outdeg") >= hubCut)
+          .orderBy(col("outdeg").desc).limit(cfg.maxHotSources)
+          .select(col("vid").as("_hotvid")).cache()
+      else null
+    val salted = hotDf != null && hotDf.count() > 0
+    val e = (if (salted)
+        edges.join(broadcast(hotDf), col("src") === col("_hotvid"), "left_outer")
+          .withColumn("_salt",
+            when(col("_hotvid").isNotNull, pmod(hash(col("dst")), lit(p))).otherwise(lit(0)))
+          .drop("_hotvid")
+          .repartition(p, col("src"), col("_salt"))
+      else edges.repartition(p, col("src"))
+      ).persist(StorageLevel.MEMORY_AND_DISK)
+    val saltReplicas = if (salted) Some((p, hotDf)) else None
     val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
     program.maxVidBound.foreach(b => require(maxVid < b,
       s"${program.name}: max vid $maxVid >= $b breaks the program's (count,id) long packing; " +
@@ -95,13 +131,13 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // driver heap grow superlinearly with superstep count).
     var state = resumed.map(_._2).getOrElse(
         program.initState(vertsWithDeg).repartition(p, col("vid")))
-      .localCheckpoint(false)
+      .localCheckpoint(false, cfg.stateStorage)
     var startStep = resumed.map(_._1 + 1).getOrElse(1)
     var inbox: Option[DataFrame] = None
     if (resumed.isDefined) {
       // regenerate the inbox the checkpointed step had already sent
       val style = cost.choose(startStep, state.filter(col("respond")).count(), 0, cfg.stateRowBytes, 1.0)
-      inbox = Some(program.aggregate(exchange(program, state, e, style, Nil, blkLen)))
+      inbox = Some(program.aggregate(exchange(program, state, e, style, Nil, blkLen, saltReplicas)))
     }
 
     var jobAgg = resumed.map(_._3).getOrElse(0.0)
@@ -127,7 +163,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         }
         st = program.update(joined, tt, jobAgg)
         if (tt == 2 && sys.env.contains("GRAFT_EXPLAIN")) st.explain("formatted")
-        if (tt < tEnd) in = Some(program.aggregate(exchange(program, st, e, style, Nil, blkLen)))
+        if (tt < tEnd) in = Some(program.aggregate(exchange(program, st, e, style, Nil, blkLen, saltReplicas)))
       }
       // ONE action per barrier. The lazy localCheckpoint materializes (and
       // truncates lineage — the reference's double-buffered value files,
@@ -135,7 +171,10 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       // computes the per-block SuperStepReport: respond counts, est.
       // messages (sum of respond out-degrees), and the task aggregate,
       // grouped by VBlock (VerBlockBeta analog).
-      val newState = st.localCheckpoint(false)
+      val newState = st.localCheckpoint(false, cfg.stateStorage)
+      if (sys.env.contains("GRAFT_PHASES"))
+        println(s"[phases] step=$t-$tEnd " + newState.queryExecution.tracker.phases
+          .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" "))
       val blockRows = newState
         .groupBy(expr(s"vid div $blkLen").as("blk")) // integer div: exact beyond 2^53 vids
         .agg(
@@ -162,16 +201,20 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       if (doCkpt) cur = ckpt.get.save(newState, tEnd, newJobAgg, metrics.toSeq)
 
       if (!halt) {
-        val msgs = exchange(program, cur, e, style, respondBlocks.toSeq, blkLen)
+        val msgs = exchange(program, cur, e, style, respondBlocks.toSeq, blkLen, saltReplicas)
         inbox = Some(program.aggregate(msgs))
       } else done = true
 
-      state.unpersist(blocking = false)
+      // blocking: bounds block-manager storage to two state generations —
+      // async unpersist let retired states pile up over long runs
+      state.unpersist(blocking = true)
       state = cur
       jobAgg = newJobAgg
       t = tEnd + 1
     }
     e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    if (hotDf != null) hotDf.unpersist(blocking = false)
     staticBase.foreach(_.unpersist(blocking = false))
     (state, metrics.toSeq)
   }
@@ -182,7 +225,8 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
    * aliased out FIRST and renamed in a second projection so it can never
    * shadow the sender's `vid` via lateral column aliasing. */
   private def exchange(program: VertexProgram, state: DataFrame, e: DataFrame,
-                       style: Style, respondBlocks: Seq[Long], blkLen: Long): DataFrame = {
+                       style: Style, respondBlocks: Seq[Long], blkLen: Long,
+                       saltReplicas: Option[(Int, DataFrame)] = None): DataFrame = {
     val senders = state.filter(col("respond"))
     // pull-route pruning (C13): when few source blocks respond, push a
     // block-membership predicate into the (big) edge relation scan.
@@ -196,9 +240,19 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // sender's own `vid` visible to msgExpr (MIS broadcasts it).
     val s2 = senders.withColumn("_graft_src", col("vid"))
     val cond = col("_graft_src") === col("src")
-    val joined = style match {
-      case Pull => eSrc.join(broadcast(s2), cond) // b-PULL: gather on edge side
-      case Push => s2.join(eSrc.hint("shuffle_hash"), cond) // PUSH: scatter
+    val joined = (style, saltReplicas) match {
+      case (Pull, _) => eSrc.join(broadcast(s2), cond) // b-PULL: gather on edge side
+      case (Push, None) => s2.join(eSrc.hint("shuffle_hash"), cond) // PUSH: scatter
+      case (Push, Some((nSalt, hotDf))) =>
+        // hub-salted PUSH: hot senders replicated to every salt value so
+        // each matches exactly the edge rows hashed to that salt — the
+        // hub's out-edge explosion spreads over nSalt tasks instead of one
+        val sh = s2.join(broadcast(hotDf), col("vid") === col("_hotvid"), "left_outer")
+          .withColumn("_ssalt", explode(
+            when(col("_hotvid").isNotNull, sequence(lit(0), lit(nSalt - 1)))
+              .otherwise(array(lit(0)))))
+          .drop("_hotvid")
+        sh.join(eSrc.hint("shuffle_hash"), cond && col("_ssalt") === col("_salt"))
     }
     joined.select(col("dst").as("_graft_dst"), program.msgExpr.as("msg"))
       .select(col("_graft_dst").as("vid"), col("msg"))

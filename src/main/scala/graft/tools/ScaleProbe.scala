@@ -5,38 +5,83 @@ import graft.graph.{LinkGraph, Transcripts}
 import graft.pregel.{Pregel, PregelConfig, Hybrid}
 import graft.algos.PageRank
 
-/** Dev probe: time each phase of the scaling benchmark at one core count.
- * Usage: runMain graft.tools.ScaleProbe <cores> <convs> [iters] */
+/** Dev probe: the Bench scaling measurement in isolation, with knobs.
+ * Mirrors Bench.scaleRun exactly (tmpfs local dir, compression off, AQE
+ * off, graph pre-materialized to parquet) so findings transfer 1:1.
+ * Usage: runMain graft.tools.ScaleProbe <convs> <iters> <cores>[,<cores>...]
+ * Env: SPARK_GRAFT_FUSE, SPARK_GRAFT_PARTS_MULT (partitions = cores * mult)
+ */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val cores = args(0).toInt
-    val convs = args(1).toLong
-    val iters = if (args.length > 2) args(2).toInt else 5
-    val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores)
+  private def session(cores: Int, parts: Int): SparkSession = {
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-probe-$cores")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.shuffle.compress", sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
+      // superstep shuffle files are only freed when their (lineage-
+      // truncated, unreferenced) RDDs get GC'd; the 30-min default lets
+      // them pile up on tmpfs for the whole run
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.rdd.compress", sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "false"))
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def timed[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val convs = args(0).toLong
+    val iters = args(1).toInt
+    val coresList = args(2).split(",").map(_.toInt).toSeq
+    val fuse = sys.env.getOrElse("SPARK_GRAFT_FUSE", "1").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_PARTS_MULT", "1").toInt
+    val fixedParts = sys.env.get("SPARK_GRAFT_PARTS_FIXED").map(_.toInt)
+    val dir = "/dev/shm/graft-probe"
+
+    locally {
+      val s = session(32, 32)
+      val t = Transcripts.synthetic(s, convs, 12, seed = 42L)
+      val v = LinkGraph.vertices(t).select("vid", "turns", "turn_idx", "tool", "conv_id").cache()
+      LinkGraph.withSelfLoops(LinkGraph.directedEdges(v), v)
+        .write.mode("overwrite").parquet(s"$dir/edges")
+      v.select("vid").write.mode("overwrite").parquet(s"$dir/verts")
+      s.stop()
     }
-    val t = Transcripts.synthetic(spark, convs, 12, 42L)
-    val v = timed("vertices+cache") {
-      val v = LinkGraph.vertices(t).cache(); v.count(); v
+
+    val results = coresList.map { cores =>
+      val parts = fixedParts.getOrElse(cores * mult)
+      val s = session(cores, parts)
+      val verts = s.read.parquet(s"$dir/verts")
+      val pe = s.read.parquet(s"$dir/edges").cache()
+      val m = pe.count()
+      val n = verts.count()
+      val pregel = new Pregel(s, PregelConfig(numPartitions = parts, mode = Hybrid,
+        fusedSupersteps = fuse,
+        stateStorage = if (sys.env.contains("SPARK_GRAFT_STATE_SER"))
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val t0 = System.nanoTime()
+      val (state, metrics) = pregel.run(new PageRank(n, iters), verts, pe)
+      state.agg(org.apache.spark.sql.functions.sum("value")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val wall = metrics.map(_.wallMs)
+      val steady = wall.drop(math.max(2, wall.length / 2)).sorted
+      val med = (if (steady.isEmpty) wall.sorted else steady).apply(
+        (if (steady.isEmpty) wall.length else steady.length) / 2) / 1000.0
+      println(f"[probe] cores=$cores parts=$parts fuse=$fuse edges=$m total=$secs%.1f medStep=$med%.3f thr=${m / med}%.0f e/s")
+      println("[probe]   wallMs=" + wall.mkString(","))
+      s.stop()
+      (cores, m / med)
     }
-    val pe = timed("edges+selfloops+cache") {
-      val pe = LinkGraph.withSelfLoops(LinkGraph.directedEdges(v), v).cache()
-      println("[probe] edges=" + pe.count()); pe
+    for (Seq((c1, t1), (c2, t2)) <- results.sliding(2)) {
+      val eff = (t2 / t1) / (c2.toDouble / c1)
+      println(f"[probe] eff $c1->$c2: $eff%.3f")
     }
-    val n = v.count()
-    val (state, metrics) = timed(s"pagerank x$iters") {
-      new Pregel(spark, PregelConfig(numPartitions = cores, mode = Hybrid, fusedSupersteps = sys.env.getOrElse("SPARK_GRAFT_FUSE", "1").toInt))
-        .run(new PageRank(n, iters), v.select("vid"), pe)
-    }
-    timed("force final") { state.agg(org.apache.spark.sql.functions.sum("value")).head() }
-    metrics.foreach(m => println(s"[probe] step=${m.superstep} style=${m.style} wallMs=${m.wallMs} respond=${m.respondCount} estMsgs=${m.estMsgs}"))
-    spark.stop()
   }
 }
