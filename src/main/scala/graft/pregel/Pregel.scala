@@ -90,22 +90,27 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val degStats = deg.agg(sum(col("outdeg")), max(col("outdeg"))).head()
     val edgeCount = if (degStats.isNullAt(0)) 0L else degStats.getLong(0)
     val hubCut = math.max(cfg.saltMinDeg, 2L * edgeCount / math.max(1, p))
-    val hotDf =
+    // At most p/2 sources can have out-degree >= 2*edges/p (they'd exceed
+    // the edge total otherwise), so the hot list is always a handful of
+    // driver-held literals. Literals — NOT a joined DataFrame: a hot-list
+    // relation appearing on BOTH sides of the exchange join trips Spark's
+    // self-join deduplication, which rewrites one side's attribute ids and
+    // silently breaks the persisted edge cache's plan matching (measured:
+    // the whole edge derivation re-ran every superstep).
+    val hotVids: Array[Long] =
       if (cfg.saltMinDeg > 0 && !degStats.isNullAt(1) && degStats.getLong(1) >= hubCut)
         deg.filter(col("outdeg") >= hubCut)
           .orderBy(col("outdeg").desc).limit(cfg.maxHotSources)
-          .select(col("vid").as("_hotvid")).cache()
-      else null
-    val salted = hotDf != null && hotDf.count() > 0
-    val e = (if (salted)
-        edges.join(broadcast(hotDf), col("src") === col("_hotvid"), "left_outer")
-          .withColumn("_salt",
-            when(col("_hotvid").isNotNull, pmod(hash(col("dst")), lit(p))).otherwise(lit(0)))
-          .drop("_hotvid")
+          .collect().map(_.getLong(0))
+      else Array.empty[Long]
+    val e = (if (hotVids.nonEmpty)
+        edges.withColumn("_salt",
+            when(col("src").isin(hotVids.toIndexedSeq: _*), pmod(hash(col("dst")), lit(p)))
+              .otherwise(lit(0)))
           .repartition(p, col("src"), col("_salt"))
       else edges.repartition(p, col("src"))
       ).persist(StorageLevel.MEMORY_AND_DISK)
-    val saltReplicas = if (salted) Some((p, hotDf)) else None
+    val saltReplicas = if (hotVids.nonEmpty) Some((p, hotVids)) else None
     val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
     program.maxVidBound.foreach(b => require(maxVid < b,
       s"${program.name}: max vid $maxVid >= $b breaks the program's (count,id) long packing; " +
@@ -214,7 +219,6 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     }
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)
-    if (hotDf != null) hotDf.unpersist(blocking = false)
     staticBase.foreach(_.unpersist(blocking = false))
     (state, metrics.toSeq)
   }
@@ -226,7 +230,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
    * shadow the sender's `vid` via lateral column aliasing. */
   private def exchange(program: VertexProgram, state: DataFrame, e: DataFrame,
                        style: Style, respondBlocks: Seq[Long], blkLen: Long,
-                       saltReplicas: Option[(Int, DataFrame)] = None): DataFrame = {
+                       saltReplicas: Option[(Int, Array[Long])] = None): DataFrame = {
     val senders = state.filter(col("respond"))
     // pull-route pruning (C13): when few source blocks respond, push a
     // block-membership predicate into the (big) edge relation scan.
@@ -243,15 +247,13 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val joined = (style, saltReplicas) match {
       case (Pull, _) => eSrc.join(broadcast(s2), cond) // b-PULL: gather on edge side
       case (Push, None) => s2.join(eSrc.hint("shuffle_hash"), cond) // PUSH: scatter
-      case (Push, Some((nSalt, hotDf))) =>
+      case (Push, Some((nSalt, hotVids))) =>
         // hub-salted PUSH: hot senders replicated to every salt value so
         // each matches exactly the edge rows hashed to that salt — the
         // hub's out-edge explosion spreads over nSalt tasks instead of one
-        val sh = s2.join(broadcast(hotDf), col("vid") === col("_hotvid"), "left_outer")
-          .withColumn("_ssalt", explode(
-            when(col("_hotvid").isNotNull, sequence(lit(0), lit(nSalt - 1)))
-              .otherwise(array(lit(0)))))
-          .drop("_hotvid")
+        val sh = s2.withColumn("_ssalt", explode(
+          when(col("vid").isin(hotVids.toIndexedSeq: _*), sequence(lit(0), lit(nSalt - 1)))
+            .otherwise(array(lit(0)))))
         sh.join(eSrc.hint("shuffle_hash"), cond && col("_ssalt") === col("_salt"))
     }
     joined.select(col("dst").as("_graft_dst"), program.msgExpr.as("msg"))
