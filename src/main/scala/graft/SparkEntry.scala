@@ -128,7 +128,10 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
-    "multimodal_meta" -> ((s, dir) => Multimodal.meta(docs(s, dir)))
+    "multimodal_meta" -> ((s, dir) => Multimodal.meta(docs(s, dir))),
+    // decode/feature-extract via mapPartitions with the deterministic fake
+    // codec — gates the batch-transform plumbing, not just its spec
+    "multimodal_decode" -> ((s, dir) => Multimodal.decodeFeaturesFlat(docs(s, dir)))
   )
 
   // pipeline knobs pinned engine<->oracle
@@ -172,6 +175,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualitySql,
     "text_tokens" -> TextAnalysis.tokenCountsSql,
     "text_fingerprint" -> TextAnalysis.fingerprintSql,
-    "multimodal_meta" -> Multimodal.metaSql
+    "multimodal_meta" -> Multimodal.metaSql,
+    "multimodal_decode" -> Multimodal.decodeFeaturesSql()
   )
 }

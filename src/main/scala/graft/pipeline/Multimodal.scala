@@ -56,12 +56,21 @@ object Multimodal {
   object FakeCodec {
     /** ??? in spirit — a real deployment binds ffmpeg/libvips here. The
      * fake derives stable pseudo-dimensions and a tiny feature vector
-     * from the payload bytes so tests exercise the full pipeline. */
-    def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Float]) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val width = math.abs(h % 1920) + 16
-      val height = math.abs((h / 7) % 1080) + 16
-      val features = Array.tabulate(8)(i => ((h >> i) & 0xff) / 255.0f)
+     * from md5(base64(payload)) — chosen over a JVM hash so the DuckDB
+     * oracle reproduces the SAME values and the whole mapPartitions
+     * pipeline (schema, batching, row mapping) is correctness-GATED, not
+     * just spec-tested. Features stay DOUBLE end-to-end: a float32
+     * narrowing changes the 6dp rounding for 3 of the 256 possible values
+     * (checked exhaustively), which the exact-hash gate would catch. */
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      val b64 = java.util.Base64.getEncoder.encodeToString(payload) // RFC 4648, unchunked
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(b64.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      def hv(pos: Int, len: Int): Long = java.lang.Long.parseLong(hex.substring(pos, pos + len), 16)
+      val width = (hv(0, 6) % 1920 + 16).toInt
+      val height = (hv(6, 6) % 1080 + 16).toInt
+      val features = Array.tabulate(8)(i => hv(12 + 2 * i, 2).toDouble / 255.0)
       (width, height, features)
     }
   }
@@ -71,7 +80,7 @@ object Multimodal {
     StructField("kind", StringType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
-    StructField("features", ArrayType(FloatType)),
+    StructField("features", ArrayType(DoubleType)),
     StructField("frames_sampled", IntegerType)))
 
   /** Decode + feature-extract + frame-sample over binary payloads as a
@@ -89,5 +98,43 @@ object Multimodal {
         Row(r.getLong(0), r.getString(1), w, h, feats.toSeq, frames)
       }
     }(enc)
+  }
+
+  /** Gate-shaped projection of [[decodeFeatures]]: the array column is
+   * flattened to scalar f0..f7 (cross-engine CSV rendering of arrays
+   * differs; scalars hash identically) and floats are compared as
+   * 6dp-rounded doubles. */
+  def decodeFeaturesFlat(docs: DataFrame, frameStride: Int = 4): DataFrame = {
+    val feats = (0 until 8).map(i =>
+      round(element_at(col("features"), i + 1).cast("double"), 6).as(s"f$i"))
+    decodeFeatures(docs, frameStride)
+      .select(Seq(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("frames_sampled")) ++ feats: _*)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of the fake codec: the same md5(base64(payload)) hex
+   * maths, hex parsed with a nibble polynomial. */
+  def decodeFeaturesSql(frameStride: Int = 4): String = {
+    def hv(pos: Int, len: Int): String =
+      (0 until len).map(k =>
+        s"(strpos('0123456789abcdef', substr(h, ${pos + 1 + k}, 1)) - 1) * ${math.pow(16, len - 1 - k).toLong}")
+        .mkString("(", " + ", ")")
+    val feats = (0 until 8).map(i =>
+      s"round(CAST(${hv(12 + 2 * i, 2)} AS DOUBLE) / 255.0, 6) AS f$i").mkString(",\n       ")
+    s"""WITH assets AS MATERIALIZED (
+       |  SELECT doc_id, encode(text) AS payload,
+       |         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+       |  FROM documents
+       |),
+       |hashed AS MATERIALIZED (
+       |  SELECT doc_id, kind, payload, md5(base64(payload)) AS h FROM assets
+       |)
+       |SELECT doc_id, kind,
+       |       CAST(${hv(0, 6)} % 1920 + 16 AS INT) AS width,
+       |       CAST(${hv(6, 6)} % 1080 + 16 AS INT) AS height,
+       |       CAST(CASE WHEN kind = 'video' THEN greatest(octet_length(payload) // $frameStride, 1) ELSE 1 END AS INT) AS frames_sampled,
+       |       $feats
+       |FROM hashed ORDER BY doc_id""".stripMargin
   }
 }

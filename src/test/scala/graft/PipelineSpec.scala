@@ -80,6 +80,31 @@ class PipelineSpec extends SparkTestBase {
     assert(overlap >= 0.9, s"cap moved more than 10% of pairs: $overlap")
   }
 
+  test("ngram PPJoin prefix filter is lossless vs the full gram join") {
+    val fast = Dedup.ngramJaccard(docs, 3, 0.8, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: full (capped) gram join, no prefix filtering
+    val grams = docs
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= 3, sequence(lit(1), length(col("text")) - 2))
+          .otherwise(array())).as("pos"))
+      .select(col("doc_id"), expr("substring(text, pos, 3)").as("g")).distinct()
+    val nd = docs.count()
+    val hot = grams.groupBy("g").count().filter(col("count") > nd * 0.5).select("g")
+    val kept = grams.join(hot, Seq("g"), "left_anti").cache()
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = kept.select(col("doc_id").as("a"), col("g"))
+      .join(kept.select(col("doc_id").as("b"), col("g")), Seq("g")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("j"))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast == brute, s"prefix filter lost/added pairs: ${(brute -- fast)} / ${(fast -- brute)}")
+  }
+
   /** Planted-cluster embeddings: 40 clusters x 10 vectors, per-dim center
    * magnitude bounded away from 0 (|c| in [0.2, 1.0]) with +-0.05 noise —
    * the realistic regime for trained embeddings (stable sign patterns).
@@ -143,7 +168,7 @@ class PipelineSpec extends SparkTestBase {
     assert(out.count() == docs.count())
     val row = out.orderBy("doc_id").head()
     assert(row.getInt(2) >= 16 && row.getInt(3) >= 16) // fake dims
-    assert(row.getSeq[Float](4).length == 8) // feature vector shape
+    assert(row.getSeq[Double](4).length == 8) // feature vector shape
     // deterministic: same input -> same features
     val again = Multimodal.decodeFeatures(docs).orderBy("doc_id").head()
     assert(row == again)
