@@ -251,11 +251,31 @@ object Dedup {
     val hot = allGrams.groupBy("g").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") > col("nd") * maxDfFrac).select("g")
-    val grams = allGrams.join(broadcast(hot), Seq("g"), "left_anti")
+    val grams = allGrams.join(broadcast(hot), Seq("g"), "left_anti").cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val ga = grams.select(col("doc_id").as("a"), col("g"))
-    val gb = grams.select(col("doc_id").as("b"), col("g"))
-    val inter = ga.join(gb, Seq("g")).filter(col("a") < col("b"))
+    // PPJoin prefix filtering (lossless; Xiao et al., WWW'08): under a
+    // global gram order (rarest first: df asc, gram asc), two docs with
+    // J >= t MUST share a gram within each one's first
+    // floor((1-t)*|d|) + 1 grams. Candidates therefore come from joining
+    // PREFIXES only — rare grams have small buckets, so the candidate join
+    // is near-linear where the full gram join is quadratic per bucket.
+    // The +1e-6 nudge keeps floor() from under-sizing the prefix when
+    // (1-t)*n lands just below an integer in binary floating point (a
+    // too-small prefix would silently lose pairs; the oracle — still the
+    // straightforward full gram join — would catch it).
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = grams.join(dfreq, "g")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= floor(lit(1.0 - minJaccard) * col("n") + 1e-6) + 1)
+      .select(col("doc_id"), col("g"))
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val inter = cands
+      .join(grams.select(col("doc_id").as("a"), col("g")), "a")
+      .join(grams.select(col("doc_id").as("b"), col("g")), Seq("b", "g"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
