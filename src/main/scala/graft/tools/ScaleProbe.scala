@@ -62,10 +62,7 @@ object ScaleProbe {
       val m = pe.count()
       val n = verts.count()
       val pregel = new Pregel(s, PregelConfig(numPartitions = parts, mode = Hybrid,
-        fusedSupersteps = fuse,
-        stateStorage = if (sys.env.contains("SPARK_GRAFT_STATE_SER"))
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
-        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        fusedSupersteps = fuse))
       val t0 = System.nanoTime()
       val (state, metrics) = pregel.run(new PageRank(n, iters), verts, pe)
       state.agg(org.apache.spark.sql.functions.sum("value")).head()
