@@ -247,10 +247,11 @@ object Dedup {
           .otherwise(array())).as("pos"))
       .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("g"))
       .distinct().cache()
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("nd"))
+    // driver scalar, not a 1-row crossJoin: the join form plans a (benign
+    // but alarming) BroadcastNestedLoopJoin that the plan-shape spec bans
+    val nd = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
     val hot = allGrams.groupBy("g").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(nDocs))
-      .filter(col("df") > col("nd") * maxDfFrac).select("g")
+      .filter(col("df") > nd * maxDfFrac).select("g")
     val grams = allGrams.join(broadcast(hot), Seq("g"), "left_anti").cache()
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // PPJoin prefix filtering (lossless; Xiao et al., WWW'08): under a
