@@ -43,10 +43,17 @@ object SparkEntry {
     lazy val canonical: DataFrame = LinkGraph.canonical(dedges)
   }
 
-  def graphOf(spark: SparkSession, dir: String): G = {
-    val verts = LinkGraph.vertices(Transcripts.fromEvents(spark, dir)).cache()
-    G(verts, LinkGraph.directedEdges(verts), verts.count())
-  }
+  // One derived graph per (session, dir): every algorithm query over the
+  // same table reuses the cached vertex relation instead of re-deriving
+  // the transcript graph (exactly what a user running PR then CC does).
+  private val graphs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), G]()
+
+  def graphOf(spark: SparkSession, dir: String): G =
+    graphs.computeIfAbsent((spark, dir), { key =>
+      val verts = LinkGraph.vertices(Transcripts.fromEvents(key._1, key._2)).cache()
+      G(verts, LinkGraph.directedEdges(verts), verts.count())
+    })
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
