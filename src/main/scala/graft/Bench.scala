@@ -174,7 +174,7 @@ object Bench {
     // Larger-than-sf0.1 graph so compute dominates fixed per-superstep
     // driver overhead; SAME partition count both runs (strong scaling).
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "1200000").toLong
-    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "24").toInt
+    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "32").toInt
     val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
 
     // Materialize the synthetic graph ONCE (at full parallelism) to tmpfs
