@@ -258,6 +258,10 @@ object Bench {
           saltMinDeg = saltMinDeg))
           .run(new ConnectedComponents(8), v.select("vid"), sym)
         val secs = (System.nanoTime() - t0) / 1e9
+        // listener events are async: let trailing TaskEnd events drain
+        // before reading/removing, or the next run's listener would absorb
+        // this run's stragglers and both task-stat rows would be wrong
+        Thread.sleep(2000)
         s.sparkContext.removeSparkListener(stats)
         (secs, stats.maxMs, stats.p50Ms)
       }

@@ -49,11 +49,15 @@ object SparkEntry {
   private val graphs =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), G]()
 
-  def graphOf(spark: SparkSession, dir: String): G =
+  def graphOf(spark: SparkSession, dir: String): G = {
+    // drop entries of stopped sessions: their cached plans are unusable
+    // and would otherwise pin the session object for the JVM's lifetime
+    graphs.keySet.removeIf(_._1.sparkContext.isStopped)
     graphs.computeIfAbsent((spark, dir), { key =>
       val verts = LinkGraph.vertices(Transcripts.fromEvents(key._1, key._2)).cache()
       G(verts, LinkGraph.directedEdges(verts), verts.count())
     })
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -84,9 +84,13 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
    *  @return (final state, per-superstep metrics) */
   def run(program: VertexProgram, vertices: DataFrame, edges: DataFrame): (DataFrame, Seq[SuperstepMetrics]) = {
     val p = cfg.numPartitions
-    // out-degrees from the raw relation (same rows as from the partitioned
-    // one) so the hub decision can shape the edge partitioning itself
-    val deg = edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outdeg"))
+    // Stage the input edges once: both the degree aggregation and the CSR
+    // packing read them, and the caller usually hands us a lazy derivation
+    // (symmetrize/self-loops over the transcript graph) that would
+    // otherwise execute twice. Unpersisted right after the packed relation
+    // materializes below.
+    val ec = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ec.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val degStats = deg.agg(sum(col("outdeg")), max(col("outdeg"))).head()
     val edgeCount = if (degStats.isNullAt(0)) 0L else degStats.getLong(0)
@@ -121,15 +125,17 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // hash(vid) partitioning and the PUSH join is exchange-free; salting
     // adds the salt key (and a senders shuffle) only when hubs exist.
     val e = (if (hotVids.nonEmpty)
-        edges.withColumn("_salt",
+        ec.withColumn("_salt",
             when(col("src").isin(hotVids.toIndexedSeq: _*), pmod(hash(col("dst")), lit(p)))
               .otherwise(lit(0)))
           .groupBy(col("src"), col("_salt")).agg(collect_list(edgeStruct).as("_adj"))
           .repartition(p, col("src"), col("_salt"))
       else
-        edges.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
+        ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
           .repartition(p, col("src"))
       ).persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize the packed relation, then drop the staged input
+    ec.unpersist(blocking = false)
     val saltReplicas = if (hotVids.nonEmpty) Some((p, hotVids)) else None
     val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
     program.maxVidBound.foreach(b => require(maxVid < b,

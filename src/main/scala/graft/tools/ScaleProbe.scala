@@ -6,10 +6,13 @@ import graft.pregel.{Pregel, PregelConfig, Hybrid}
 import graft.algos.PageRank
 
 /** Dev probe: the Bench scaling measurement in isolation, with knobs.
- * Mirrors Bench.scaleRun exactly (tmpfs local dir, compression off, AQE
- * off, graph pre-materialized to parquet) so findings transfer 1:1.
+ * Defaults mirror Bench.scaleRun (tmpfs local dir, lz4 compression ON,
+ * AQE off, fuse=4, graph pre-materialized to parquet); the summary
+ * statistic here is the simpler median-of-second-half, so compare raw
+ * wallMs groups when cross-checking against Bench's min/median-of-groups.
  * Usage: runMain graft.tools.ScaleProbe <convs> <iters> <cores>[,<cores>...]
- * Env: SPARK_GRAFT_FUSE, SPARK_GRAFT_PARTS_MULT (partitions = cores * mult)
+ * Env: SPARK_GRAFT_FUSE, SPARK_GRAFT_COMPRESS, SPARK_GRAFT_RDD_COMPRESS,
+ *      SPARK_GRAFT_PARTS_MULT, SPARK_GRAFT_PARTS_FIXED
  */
 object ScaleProbe {
   private def session(cores: Int, parts: Int): SparkSession = {
@@ -22,13 +25,13 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.shuffle.compress", sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
-      .config("spark.shuffle.spill.compress", sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "false"))
+      .config("spark.shuffle.compress", sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress", sys.env.getOrElse("SPARK_GRAFT_COMPRESS", "true"))
       // superstep shuffle files are only freed when their (lineage-
       // truncated, unreferenced) RDDs get GC'd; the 30-min default lets
       // them pile up on tmpfs for the whole run
       .config("spark.cleaner.periodicGC.interval", "30s")
-      .config("spark.rdd.compress", sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "false"))
+      .config("spark.rdd.compress", sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -39,7 +42,7 @@ object ScaleProbe {
     val convs = args(0).toLong
     val iters = args(1).toInt
     val coresList = args(2).split(",").map(_.toInt).toSeq
-    val fuse = sys.env.getOrElse("SPARK_GRAFT_FUSE", "1").toInt
+    val fuse = sys.env.getOrElse("SPARK_GRAFT_FUSE", "4").toInt
     val mult = sys.env.getOrElse("SPARK_GRAFT_PARTS_MULT", "1").toInt
     val fixedParts = sys.env.get("SPARK_GRAFT_PARTS_FIXED").map(_.toInt)
     val dir = "/dev/shm/graft-probe"

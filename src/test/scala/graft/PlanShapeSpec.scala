@@ -19,9 +19,8 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
-  test("pagerank superstep plan keeps the scan pruned and codegen'd") {
+  test("graph derivation (prEdges) plans no all-pairs join") {
     val g = SparkEntry.graphOf(spark, dir)
-    // one exchange round, the kernel's shape: packed adjacency join
     val plan = g.prEdges.queryExecution.executedPlan.toString
     for (bad <- forbidden) assert(!plan.contains(bad))
   }

@@ -43,9 +43,15 @@ for name, sql in sorted(oracles.items()):
         import numpy as np
         floatcols = [c for c in s.columns if str(s[c].dtype).startswith("float")]
         if floatcols:
+            # re-sort by the NON-float columns first: canon() sorts by
+            # alphabetical column order, so a float column that sorts before
+            # the key (pagerank value<vid) would misalign rows whose floats
+            # differ — exactly the rows this fallback exists to tolerate
             others = [c for c in s.columns if c not in floatcols]
-            exact_ok = all(s[c].equals(o[c]) for c in others)
-            close_ok = all(np.allclose(s[c].to_numpy(), o[c].to_numpy(),
+            s2 = s.sort_values(by=others + floatcols).reset_index(drop=True) if others else s
+            o2 = o.sort_values(by=others + floatcols).reset_index(drop=True) if others else o
+            exact_ok = all(s2[c].equals(o2[c]) for c in others)
+            close_ok = all(np.allclose(s2[c].to_numpy(), o2[c].to_numpy(),
                                        atol=2e-6, rtol=0, equal_nan=True)
                            for c in floatcols)
             if exact_ok and close_ok:
