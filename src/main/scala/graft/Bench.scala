@@ -10,27 +10,39 @@ import graft.algos.{PageRank, ConnectedComponents}
 /**
  * Benchmark main (driver-run per round; see BASELINE.md).
  *
- * Emits ONE JSON line:
+ * Emits ONE JSON line on stdout (unprefixed — build.sbt routes the forked
+ * stdout through raw) and mirrors it to target/bench_last.json:
  *   metric/value/unit/queries/sf  — driver contract
  *   + pagerank: edges/sec, supersteps/hour on the sfDir transcript graph
  *   + scaling: the SAME synthetic PageRank job at 4 vs 16 cores (this
  *     sandbox provisions linear CPU only to ~16 threads, so 4->16 is the
  *     honest N vs 4N stand-in; BASELINE.json north_rule requires
- *     throughput scaling efficiency >= 0.8). Both runs execute the
- *     identical job — same input bytes, same 32 shuffle partitions — only
- *     the executor-thread count differs (strong scaling).
+ *     throughput scaling efficiency >= 0.8).
  *   + two calibrations: a plain shuffle+agg (the host's generic ceiling)
- *     and a VANILLA-SPARK iterative PageRank written with stock DataFrame
- *     ops and no graft kernel — the engine's scaling divided by vanilla's
- *     isolates what the superstep machinery costs on this host.
+ *     and a VANILLA-SPARK iterative PageRank (stock DataFrame ops, no
+ *     graft kernel) — engine scaling / vanilla scaling isolates what the
+ *     superstep machinery costs on this host.
  *   + skew: CC over a hub-heavy graph with hub salting on vs off,
  *     with per-task duration max/median from a SparkListener.
  *
- * Statistics: per-step walls on this VM spike 2-4x for ~20s stretches
- * (hypervisor noise, documented in BASELINE.md), so each measurement
- * reports the MINIMUM steady fused-group step time (best-of-N over
- * identical groups, first two groups dropped as JIT/cache warm-up) plus
- * the median for reference. Both core counts use the identical statistic.
+ * Measurement discipline (round 3, after the round-2 driver run measured
+ * 0.33 in a window where the builder measured 0.93 — BENCH_r02 vs
+ * BASELINE.md):
+ *  1. The scaling phase runs FIRST, before the 30-minute query gauntlet
+ *     heats the JVM/tmpfs and before any host drift accumulates.
+ *  2. Core counts are INTERLEAVED in adjacent pairs (lo, hi, lo, hi, ...):
+ *     this host degrades for many-minute stretches, so a lo-run and hi-run
+ *     measured minutes apart see different machines. Within a pair the two
+ *     runs are back-to-back, so degradation hits both sides and the RATIO
+ *     (the efficiency) survives even in a bad window.
+ *  3. The gated statistic is the MEDIAN over pairs of the per-pair
+ *     efficiency computed from minimum steady fused-group step times
+ *     (min = noise-robust capability on a VM whose per-step walls spike
+ *     2-4x; median-of-pairs = robust to one bad pair). The per-pair list,
+ *     the median-stat variant, and a host canary before/after the query
+ *     gauntlet are all reported so a noisy window is attributable.
+ *  4. If the per-pair efficiencies disagree badly (spread > 35%), one
+ *     extra pair runs (the window was noisy); capped at 5 pairs.
  */
 object Bench {
 
@@ -85,13 +97,12 @@ object Bench {
   }
 
   /** Steady-state step seconds from per-step walls: group by fused barrier
-   * (`groupOf` consecutive equal-cost entries), drop the first two groups
-   * (cache materialization + JIT warm-up), return (min, median) of the
-   * remaining group values — min is the noise-robust capability number on
-   * this spiky VM, median is reported alongside. */
-  private[graft] def steadyStepSecs(wallMs: Seq[Long], groupOf: Int): (Double, Double) = {
+   * (`groupOf` consecutive equal-cost entries), drop the first `drop`
+   * groups (cache materialization; JIT warm-up is paid by a dedicated
+   * pre-run), return (min, median) of the remaining group values. */
+  private[graft] def steadyStepSecs(wallMs: Seq[Long], groupOf: Int, drop: Int = 2): (Double, Double) = {
     val groups = wallMs.grouped(math.max(1, groupOf)).map(g => g.sum.toDouble / g.size).toSeq
-    val steady = groups.drop(math.min(2, math.max(0, groups.length - 2)))
+    val steady = groups.drop(math.min(drop, math.max(0, groups.length - 2)))
     val sorted = steady.sorted
     (sorted.head / 1000.0, sorted(sorted.length / 2) / 1000.0)
   }
@@ -130,8 +141,37 @@ object Bench {
     val durs = scala.collection.mutable.ArrayBuffer[Long]()
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
       durs.synchronized { if (t.taskInfo != null) durs += t.taskInfo.duration }
+    def size: Int = durs.synchronized { durs.size }
     def maxMs: Long = durs.synchronized { if (durs.isEmpty) 0 else durs.max }
     def p50Ms: Long = durs.synchronized { if (durs.isEmpty) 0 else durs.sorted.apply(durs.size / 2) }
+  }
+
+  /** Listener events arrive async. Run a marker job, then poll until the
+   * buffer stops growing — instead of a fixed sleep that silently loses
+   * (or mis-attributes) stragglers slower than the sleep. */
+  private def drainListener(s: SparkSession, stats: TaskStats): Unit = {
+    s.range(4).count() // marker job: its TaskEnds land BEHIND any straggler's
+    val deadline = System.nanoTime() + 5L * 1000000000L
+    var last = -1
+    var stable = 0
+    while (stable < 2 && System.nanoTime() < deadline) {
+      val n = stats.size
+      if (n == last) stable += 1 else { stable = 0; last = n }
+      Thread.sleep(150)
+    }
+  }
+
+  /** Host-noise canary: one small fixed shuffle+agg, median of 3. Run
+   * before and after the query gauntlet so a degraded window shows up in
+   * the JSON instead of masquerading as a query regression. */
+  private def canary(s: SparkSession): Double = {
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      s.range(4000000L).groupBy((col("id") % 2000000L).as("k")).agg(sum("id"))
+        .agg(count(lit(1))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -140,45 +180,19 @@ object Bench {
     val iters = SparkEntry.PR_ITERS
     val fuse = sys.env.getOrElse("SPARK_GRAFT_FUSE", "4").toInt
 
-    // ---------------- headline: PageRank on the sfDir transcript graph
-    var spark = session(cpus, cpus)
-    val g = SparkEntry.graphOf(spark, sfDir)
-    val (prSecs, prEdges, prWall) = timePr(spark, g.verts.select("vid"), g.prEdges, g.n, iters, cpus, fuse)
-    val prSteps = prWall.length
-    val edgesPerSec = prEdges.toDouble * prSteps / prSecs
-    val superstepsPerHour = prSteps / prSecs * 3600.0
-
-    // ---------------- representative query timings. Excluded at bench
-    // scale: ann_topk (the intentional O(n^2) correctness baseline — the
-    // LSH variant stands in) and dedup_ngram (this driver corpus has only
-    // 377 distinct trigrams over 5000 docs, so ~half of ALL doc pairs are
-    // genuine gram-sharing candidates and exact gram-Jaccard is
-    // structurally quadratic on it — even with the lossless PPJoin prefix
-    // filter; MinHash-LSH is the text near-dup scale path and is benched).
-    val benchQueries = Seq(
-      "pagerank", "cc", "lpa", "sssp", "mis", "mm", "sa", "triangles", "degrees", "edges",
-      "sssp_weighted", "dedup_exact", "dedup_minhash", "dedup_simhash", "text_simhash",
-      "dedup_embedding", "ann_lsh",
-      "text_langid", "text_quality", "text_tokens", "text_fingerprint",
-      "multimodal_meta", "multimodal_decode")
-    val results = benchQueries.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -1.0)
-    }
-    spark.stop()
-
-    // ---------------- scaling: identical synthetic job at 4 vs 16 cores.
-    // Larger-than-sf0.1 graph so compute dominates fixed per-superstep
-    // driver overhead; SAME partition count both runs (strong scaling).
+    // ================= 1) SCALING — first, interleaved pairs =============
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "1200000").toLong
-    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "32").toInt
+    val scaleIters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "16").toInt
     val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
+    val basePairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
+    // N vs 4N: this VM only provisions linear CPU up to ~16 threads
+    // (measured: raw 4->16-process scaling 3.5x, 8->32 saturates), so the
+    // honest pair is 4 vs 16 cores.
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
+    val hiCores = loCores * 4
 
     // Materialize the synthetic graph ONCE (at full parallelism) to tmpfs
-    // parquet so both timed runs read identical bytes and derivation cost
+    // parquet so every timed run reads identical bytes and derivation cost
     // stays out of the measurement.
     val scaleDir = "/dev/shm/graft-bench"
     locally {
@@ -191,41 +205,69 @@ object Bench {
       s.stop()
     }
 
-    def scaleRun(cores: Int): (Double, Long, Double, Double) = {
+    /** One timed run: (wallSecs, edges, min steady step, median steady step). */
+    def scaleRun(cores: Int, nIters: Int): (Double, Long, Double, Double) = {
       val s = session(cores, scaleParts, aqe = false)
       val verts = s.read.parquet(s"$scaleDir/verts")
       val pe = s.read.parquet(s"$scaleDir/edges")
       val n = verts.count()
-      val (secs, m, wall) = timePr(s, verts, pe, n, scaleIters, scaleParts, fuse)
+      val (secs, m, wall) = timePr(s, verts, pe, n, nIters, scaleParts, fuse)
       s.stop()
-      val (mn, med) = steadyStepSecs(wall, fuse)
+      val (mn, med) = steadyStepSecs(wall, fuse, drop = 1)
       (secs, m, mn, med)
     }
-    // N vs 4N: this VM only provisions linear CPU up to ~16 threads
-    // (measured: raw 4->16-process scaling 3.5x, 8->32 saturates), so the
-    // honest pair is 4 vs 16 cores.
-    val loCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
-    val hiCores = loCores * 4
-    val (s8, m8, step8, step8med) = scaleRun(loCores)
-    val (s32, m32, step32, step32med) = scaleRun(hiCores)
-    val thr8 = m8.toDouble / step8
-    val thr32 = m32.toDouble / step32
-    val eff = (thr32 / thr8) / 4.0
-    val effMed = (m32 / step32med) / (m8 / step8med) / 4.0
 
-    // vanilla-Spark PageRank calibration on the same bytes/iters/partitions
+    // JIT warm-up pre-run (same JVM hosts every session, so JIT state
+    // carries over; without this, pair 1's lo run pays compilation).
+    scaleRun(hiCores, math.max(fuse * 2, 8))
+
+    final case class Pair(secsLo: Double, secsHi: Double, loMin: Double, hiMin: Double,
+                          loMed: Double, hiMed: Double) {
+      def effMin: Double = loMin / (4.0 * hiMin)
+      def effMed: Double = loMed / (4.0 * hiMed)
+    }
+    val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
+    var scaleEdges = 0L
+    def runPair(): Unit = {
+      val (sLo, m, loMin, loMed) = scaleRun(loCores, scaleIters)
+      val (sHi, _, hiMin, hiMed) = scaleRun(hiCores, scaleIters)
+      scaleEdges = m
+      pairs += Pair(sLo, sHi, loMin, hiMin, loMed, hiMed)
+    }
+    (1 to basePairs).foreach(_ => runPair())
+    // Self-detect a noisy window: if per-pair efficiencies disagree by
+    // >35%, add one more pair (cap 5) so the median settles.
+    def spreadTooWide: Boolean = {
+      val effs = pairs.map(_.effMin)
+      effs.max > 0 && (effs.max - effs.min) / effs.max > 0.35
+    }
+    while (pairs.length < math.min(5, basePairs + 2) && spreadTooWide) runPair()
+
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val eff = median(pairs.map(_.effMin).toSeq)
+    val effMed = median(pairs.map(_.effMed).toSeq)
+    val gatedPair = pairs.minBy(p => math.abs(p.effMin - eff)) // the median pair
+    val thrLo = scaleEdges / gatedPair.loMin
+    val thrHi = scaleEdges / gatedPair.hiMin
+    val pairsJson = pairs.map(p =>
+      s"""{"step_lo":${f"${p.loMin}%.3f"},"step_hi":${f"${p.hiMin}%.3f"},""" +
+        s""""step_lo_med":${f"${p.loMed}%.3f"},"step_hi_med":${f"${p.hiMed}%.3f"},""" +
+        s""""eff":${f"${p.effMin}%.3f"},"eff_med":${f"${p.effMed}%.3f"}}""").mkString("[", ",", "]")
+
+    // ---------------- vanilla-Spark PageRank calibration (one adjacent
+    // pair, same bytes/iters/partitions/statistic)
     def vanillaRun(cores: Int): (Double, Double) = {
       val s = session(cores, scaleParts, aqe = false)
       val verts = s.read.parquet(s"$scaleDir/verts")
       val pe = s.read.parquet(s"$scaleDir/edges")
       val wall = vanillaPr(s, verts, pe, scaleIters, scaleParts)
       s.stop()
-      steadyStepSecs(wall, fuse) // same grouping/statistic as the engine
+      steadyStepSecs(wall, fuse, drop = 1) // same grouping/statistic as the engine
     }
-    val (van8, van8med) = vanillaRun(loCores)
-    val (van32, van32med) = vanillaRun(hiCores)
-    val vanEff = (van8 / van32) / 4.0
-    val vanEffMed = (van8med / van32med) / 4.0
+    val (vanLo, vanLoMed) = vanillaRun(loCores)
+    val (vanHi, vanHiMed) = vanillaRun(hiCores)
+    val vanEff = (vanLo / vanHi) / 4.0
+    val vanEffMed = (vanLoMed / vanHiMed) / 4.0
 
     // generic host ceiling: plain shuffle+agg (kept for round-1 continuity)
     def calRun(cores: Int): Double = {
@@ -242,7 +284,47 @@ object Bench {
     }
     val calEff = calRun(loCores) / calRun(hiCores) / 4.0
 
-    // ---------------- skew: hub salting on a hub-heavy symmetrized graph
+    // ================= 2) headline PageRank + query gauntlet =============
+    val spark = session(cpus, cpus)
+    val tDer0 = System.nanoTime()
+    val g = SparkEntry.graphOf(spark, sfDir)
+    g.verts.count() // materialize the shared vertex cache
+    val derivationSecs = (System.nanoTime() - tDer0) / 1e9
+    val (prSecs, prEdges, prWall) = timePr(spark, g.verts.select("vid"), g.prEdges, g.n, iters, cpus, fuse)
+    val prSteps = prWall.length
+    val edgesPerSec = prEdges.toDouble * prSteps / prSecs
+    val superstepsPerHour = prSteps / prSecs * 3600.0
+
+    // Representative query timings. Excluded at bench scale: ann_topk (the
+    // intentional O(n^2) correctness baseline — the LSH variant stands in)
+    // and dedup_ngram (this driver corpus has only 377 distinct trigrams
+    // over 5000 docs, so ~half of ALL doc pairs are genuine gram-sharing
+    // candidates and exact gram-Jaccard is structurally quadratic on it —
+    // even with the lossless PPJoin prefix filter; MinHash-LSH is the text
+    // near-dup scale path and is benched).
+    val benchQueries = Seq(
+      "pagerank", "cc", "lpa", "sssp", "mis", "mm", "sa", "triangles", "degrees", "edges",
+      "sssp_weighted", "cc_adjtext", "mm_adjtext",
+      "dedup_exact", "dedup_minhash", "dedup_simhash", "text_simhash",
+      "dedup_embedding", "ann_lsh",
+      "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+      "multimodal_meta", "multimodal_decode")
+    val canaryBefore = canary(spark)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = benchQueries.map { name =>
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        false
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -1.0)
+    }
+    val canaryAfter = canary(spark)
+    spark.stop()
+
+    // ================= 3) skew: hub salting, interleaved off/on ==========
     val skewJson = {
       val s = session(hiCores, scaleParts, aqe = false)
       val t = Transcripts.synthetic(s, 150000, 12, seed = 7L)
@@ -258,16 +340,18 @@ object Bench {
           saltMinDeg = saltMinDeg))
           .run(new ConnectedComponents(8), v.select("vid"), sym)
         val secs = (System.nanoTime() - t0) / 1e9
-        // listener events are async: let trailing TaskEnd events drain
-        // before reading/removing, or the next run's listener would absorb
-        // this run's stragglers and both task-stat rows would be wrong
-        Thread.sleep(2000)
+        drainListener(s, stats)
         s.sparkContext.removeSparkListener(stats)
         (secs, stats.maxMs, stats.p50Ms)
       }
-      val (unsSecs, unsMax, unsP50) = ccRun(0L) // salting disabled
-      val (salSecs, salMax, salP50) = ccRun(1L << 16) // default threshold
+      // interleaved off/on twice: per-variant min wall (adjacent runs see
+      // the same host window; min drops a one-off spike), task stats from
+      // the faster run of each variant
+      val off = Seq(ccRun(0L), ccRun(0L))
+      val on = Seq(ccRun(1L << 16), ccRun(1L << 16))
       s.stop()
+      val (unsSecs, unsMax, unsP50) = off.minBy(_._1)
+      val (salSecs, salMax, salP50) = on.minBy(_._1)
       s""""skew":{"edges":$m,"max_degree":$maxDeg,"cc_supersteps":8,""" +
         s""""unsalted":{"secs":${f"$unsSecs%.2f"},"task_ms_max":$unsMax,"task_ms_p50":$unsP50},""" +
         s""""salted":{"secs":${f"$salSecs%.2f"},"task_ms_max":$salMax,"task_ms_p50":$salP50}}"""
@@ -275,21 +359,39 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    println(
+    def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        s""""errors":$errJson,""" +
+        s""""derivation_secs":${f"$derivationSecs%.3f"},""" +
+        s""""canary_before_secs":${f"$canaryBefore%.3f"},"canary_after_secs":${f"$canaryAfter%.3f"},""" +
         s""""pagerank":{"edges":$prEdges,"supersteps":$prSteps,"secs":${f"$prSecs%.3f"},""" +
         s""""edges_per_sec":${f"$edgesPerSec%.0f"},"supersteps_per_hour":${f"$superstepsPerHour%.1f"}},""" +
-        s""""scaling":{"edges":$m32,"iters":$scaleIters,"fuse":$fuse,"parts":$scaleParts,""" +
-        s""""cores_lo":$loCores,"cores_hi":$hiCores,""" +
-        s""""secs_lo":${f"$s8%.3f"},"secs_hi":${f"$s32%.3f"},""" +
-        s""""steady_step_secs_lo":${f"$step8%.3f"},"steady_step_secs_hi":${f"$step32%.3f"},""" +
-        s""""median_step_secs_lo":${f"$step8med%.3f"},"median_step_secs_hi":${f"$step32med%.3f"},""" +
-        s""""edges_per_sec_lo":${f"$thr8%.0f"},"edges_per_sec_hi":${f"$thr32%.0f"},""" +
+        s""""scaling":{"edges":$scaleEdges,"iters":$scaleIters,"fuse":$fuse,"parts":$scaleParts,""" +
+        s""""cores_lo":$loCores,"cores_hi":$hiCores,"pairs":$pairsJson,""" +
+        s""""secs_lo":${f"${gatedPair.secsLo}%.3f"},"secs_hi":${f"${gatedPair.secsHi}%.3f"},""" +
+        s""""steady_step_secs_lo":${f"${gatedPair.loMin}%.3f"},"steady_step_secs_hi":${f"${gatedPair.hiMin}%.3f"},""" +
+        s""""median_step_secs_lo":${f"${gatedPair.loMed}%.3f"},"median_step_secs_hi":${f"${gatedPair.hiMed}%.3f"},""" +
+        s""""edges_per_sec_lo":${f"$thrLo%.0f"},"edges_per_sec_hi":${f"$thrHi%.0f"},""" +
         s""""efficiency":${f"$eff%.3f"},"efficiency_median":${f"$effMed%.3f"},""" +
+        s""""efficiency_best_pair":${f"${pairs.map(_.effMin).max}%.3f"},""" +
         s""""vanilla_spark_pagerank_efficiency":${f"$vanEff%.3f"},""" +
         s""""vanilla_spark_pagerank_efficiency_median":${f"$vanEffMed%.3f"},""" +
         s""""host_vanilla_shuffle_efficiency":${f"$calEff%.3f"},""" +
         s""""efficiency_vs_vanilla_spark":${f"${eff / vanEff}%.3f"}},""" +
-        skewJson + "}")
+        skewJson + "}"
+    println(json)
+    try {
+      val tgt = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(tgt)
+      java.nio.file.Files.writeString(tgt.resolve("bench_last.json"), json)
+    } catch { case _: Throwable => () }
+    // A failed bench query is a loud failure, not a silent -1.0 blip.
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -64,6 +64,19 @@ object Oracles {
     materialize("WITH " + graft.graph.AdjacencyText.weightedOracleCtes(path) +
       ",\n" + SSSP.relaxSql(source, k))
 
+  /** CC over the committed UNWEIGHTED reference text fixture — gates the
+   * reference's primary input format (io/EdgeParser.java:134-157). */
+  def ccAdjText(path: String, k: Int): String =
+    materialize("WITH " + graft.graph.AdjacencyText.unweightedOracleCtes(path) +
+      ",\n" + ConnectedComponents.oracleSql(k))
+
+  /** MM over the committed bipartite text fixture — gates the bipartite
+   * parse rule (io/EdgeParser.java:51-83; MM.oracleSql applies the
+   * parity-crossing filter to the parsed `uedges`). */
+  def mmAdjText(path: String, k: Int): String =
+    materialize("WITH " + graft.graph.AdjacencyText.unweightedOracleCtes(path) +
+      ",\n" + MM.oracleSql(k))
+
   def sa(source: Long, k: Int): String =
     withGraphChain(Seq(LinkGraph.prEdgesSql), SA.oracleSql(source, k))
 

@@ -30,10 +30,15 @@ object SparkEntry {
   val SA_SOURCE = 2L // reference default source.vertex.id=2 (SABSP.java:52)
   val MM_ITERS = 25 // == 1 (mod 3): both engines stop on a phase boundary
   val WEIGHTED_FIXTURE = "/root/repo/fixtures/weighted_adj.txt"
+  val UNWEIGHTED_FIXTURE = "/root/repo/fixtures/unweighted_adj.txt"
+  val BIPARTITE_FIXTURE = "/root/repo/fixtures/bipartite_adj.txt"
 
   private def pregel(spark: SparkSession): Pregel = {
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    new Pregel(spark, PregelConfig(numPartitions = p, mode = Hybrid))
+    // fuse=4: semantically identity (KernelSpec); UpdateAll programs
+    // (PageRank, LPA) amortize 4 supersteps per barrier
+    new Pregel(spark, PregelConfig(numPartitions = p, mode = Hybrid,
+      fusedSupersteps = 4))
   }
 
   /** Derivation bundle reused by the graph queries. */
@@ -105,6 +110,24 @@ object SparkEntry {
       val verts = e.select(col("src").as("vid")).distinct()
       SSSP.weightedDistances(pregel(s), verts, e, SSSP_SOURCE, SSSP_ITERS).orderBy("vid")
     }),
+    // reference PRIMARY input (unweighted `src \t dst:dst…`,
+    // io/EdgeParser.java:134-157), end-to-end: parse the committed fixture
+    // and run CC over it — the first path a user loading an existing
+    // HybridGraph dataset hits
+    "cc_adjtext" -> ((s, dir) => {
+      val e = graph.AdjacencyText.edges(s, UNWEIGHTED_FIXTURE)
+      val verts = e.select(col("src").as("vid"))
+        .union(e.select(col("dst").as("vid"))).distinct()
+      ConnectedComponents.labels(pregel(s), verts, e, CC_ITERS).orderBy("vid")
+    }),
+    // reference bipartite parse rule (io/EdgeParser.java:51-83): drop
+    // same-parity edges from the parsed file, then run maximal matching
+    "mm_adjtext" -> ((s, dir) => {
+      val e = graph.AdjacencyText.edges(s, BIPARTITE_FIXTURE)
+      val verts = e.select(col("src").as("vid"))
+        .union(e.select(col("dst").as("vid"))).distinct()
+      MM.matching(pregel(s), verts, graph.AdjacencyText.bipartite(e), MM_ITERS).orderBy("vid")
+    }),
     "sa" -> ((s, dir) => {
       val g = graphOf(s, dir)
       SA.run(pregel(s), g.verts.select("vid"), g.prEdges, SA_SOURCE, SA_ITERS).orderBy("vid")
@@ -169,6 +192,8 @@ object SparkEntry {
     "lpa" -> Oracles.lpa(LPA_ITERS),
     "sssp" -> Oracles.sssp(SSSP_SOURCE, SSSP_ITERS),
     "sssp_weighted" -> Oracles.ssspWeighted(WEIGHTED_FIXTURE, SSSP_SOURCE, SSSP_ITERS),
+    "cc_adjtext" -> Oracles.ccAdjText(UNWEIGHTED_FIXTURE, CC_ITERS),
+    "mm_adjtext" -> Oracles.mmAdjText(BIPARTITE_FIXTURE, MM_ITERS),
     "mis" -> Oracles.mis(MIS_ITERS),
     "mm" -> Oracles.mm(MM_ITERS),
     "sa" -> Oracles.sa(SA_SOURCE, SA_ITERS),

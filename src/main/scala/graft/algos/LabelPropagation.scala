@@ -23,13 +23,13 @@ import graft.pregel._
  * destination; we instead pre-aggregate (dst, label) counts — a two-level
  * hash aggregate with map-side partial combine, so a hub vertex receives
  * at most numPartitions * distinctLabels rows instead of deg(hub)
- * messages. The argmax uses an injective (count, label) encoding
- * count*10^8 + label so the DuckDB oracle reproduces it with plain
- * arithmetic (valid while vid < 10^8; swap to max(struct) beyond).
+ * messages. The argmax is max(struct(count, label)) — lexicographic
+ * struct comparison gives max-count with max-label tie-break and is valid
+ * for the full 64-bit vid range (the round-2 count*10^8+label packing
+ * capped vids at 10^8; the oracle mirrors it with a row_number window).
  */
 final class LabelPropagation(maxIters: Int) extends VertexProgram {
   val name = "lpa"
-  private val ENC = 100000000L
 
   def initState(vertices: DataFrame): DataFrame =
     vertices.select(col("vid"), col("outdeg"),
@@ -40,7 +40,8 @@ final class LabelPropagation(maxIters: Int) extends VertexProgram {
   def aggregate(msgs: DataFrame): DataFrame =
     msgs.groupBy(col("vid"), col("msg")).agg(count(lit(1)).as("cnt"))
       .groupBy("vid")
-      .agg((max(col("cnt") * ENC + col("msg")) % ENC).as("magg"))
+      .agg(max(struct(col("cnt"), col("msg"))).as("m"))
+      .select(col("vid"), col("m.msg").as("magg"))
 
   def emptyInboxCols: Seq[(String, Column)] =
     Seq("magg" -> lit(null).cast("long"))
@@ -66,7 +67,6 @@ final class LabelPropagation(maxIters: Int) extends VertexProgram {
 
   val updateRule: UpdateRule = UpdateAll
   val maxSupersteps: Int = maxIters
-  override val maxVidBound: Option[Long] = Some(ENC)
 }
 
 object LabelPropagation {
@@ -86,12 +86,12 @@ object LabelPropagation {
         |  SELECT s.vid, coalesce(m.nl, s.lbl) AS lbl
         |  FROM l${t - 1} s
         |  LEFT JOIN (
-        |    SELECT dst, max(cnt * 100000000 + lbl) % 100000000 AS nl
-        |    FROM (
-        |      SELECT e.dst, p.lbl, count(*) AS cnt
+        |    SELECT dst, lbl AS nl FROM (
+        |      SELECT e.dst, p.lbl, count(*) AS cnt,
+        |             row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, p.lbl DESC) AS rn
         |      FROM l${t - 1} p JOIN uedges e ON e.src = p.vid
         |      GROUP BY e.dst, p.lbl
-        |    ) GROUP BY dst
+        |    ) WHERE rn = 1
         |  ) m ON m.dst = s.vid
         |)""".stripMargin)
     }

@@ -21,7 +21,6 @@ import graft.pregel._
  */
 final class SA(source: Long, maxIters: Int) extends VertexProgram {
   val name = "sa"
-  private val ENC = 100000000L
 
   def initState(vertices: DataFrame): DataFrame =
     vertices.select(col("vid"), col("outdeg"),
@@ -29,10 +28,13 @@ final class SA(source: Long, maxIters: Int) extends VertexProgram {
 
   val msgExpr: Column = col("aid")
 
+  // max(struct(count, id)): lexicographic struct max = popularity argmax
+  // with max-id tie-break (SABSP.findNewValue:147-155), valid for the full
+  // 64-bit vid range (round 2's count*10^8+id packing capped vids at 10^8)
   def aggregate(msgs: DataFrame): DataFrame =
     msgs.groupBy(col("vid"), col("msg")).agg(count(lit(1)).as("c"))
-      .groupBy("vid").agg(max(col("c") * ENC + col("msg")).as("enc"))
-      .select(col("vid"), expr(s"enc div $ENC").as("mcnt"), (col("enc") % ENC).as("maid"))
+      .groupBy("vid").agg(max(struct(col("c"), col("msg"))).as("m"))
+      .select(col("vid"), col("m.c").as("mcnt"), col("m.msg").as("maid"))
 
   def emptyInboxCols: Seq[(String, Column)] =
     Seq("mcnt" -> lit(null).cast("long"), "maid" -> lit(null).cast("long"))
@@ -54,7 +56,6 @@ final class SA(source: Long, maxIters: Int) extends VertexProgram {
   override def vertexAggCol: Column = when(col("respond"), 1.0).otherwise(0.0)
   val updateRule: UpdateRule = MsgDepend
   val maxSupersteps: Int = maxIters
-  override val maxVidBound: Option[Long] = Some(ENC)
 }
 
 object SA {
@@ -65,9 +66,9 @@ object SA {
   }
 
   /** Fixed-K unrolled oracle with explicit respond tracking; requires
-   * `vertices`,`predges` CTEs. */
+   * `vertices`,`predges` CTEs. The popularity argmax mirrors the engine's
+   * max(struct(count, id)) via a row_number window (count DESC, id DESC). */
   def oracleSql(source: Long, k: Int): String = {
-    val E = 100000000L
     val sb = new StringBuilder
     sb.append(
       s"a1 AS (SELECT vid, vid AS aid, CAST(1 AS BIGINT) AS cnt, (vid = $source) AS resp FROM vertices)")
@@ -75,18 +76,19 @@ object SA {
       sb.append(s""",
         |a$t AS (
         |  SELECT s.vid,
-        |         CASE WHEN m.enc IS NOT NULL AND ((m.enc % $E) <> s.aid OR s.cnt < (m.enc // $E))
-        |              THEN m.enc % $E ELSE s.aid END AS aid,
-        |         CASE WHEN m.enc IS NOT NULL AND ((m.enc % $E) <> s.aid OR s.cnt < (m.enc // $E))
-        |              THEN m.enc // $E ELSE s.cnt END AS cnt,
-        |         (m.enc IS NOT NULL AND ((m.enc % $E) <> s.aid OR s.cnt < (m.enc // $E))) AS resp
+        |         CASE WHEN m.maid IS NOT NULL AND (m.maid <> s.aid OR s.cnt < m.mcnt)
+        |              THEN m.maid ELSE s.aid END AS aid,
+        |         CASE WHEN m.maid IS NOT NULL AND (m.maid <> s.aid OR s.cnt < m.mcnt)
+        |              THEN m.mcnt ELSE s.cnt END AS cnt,
+        |         (m.maid IS NOT NULL AND (m.maid <> s.aid OR s.cnt < m.mcnt)) AS resp
         |  FROM a${t - 1} s
         |  LEFT JOIN (
-        |    SELECT dst, max(c * $E + aid) AS enc FROM (
-        |      SELECT e.dst, p.aid, count(*) AS c
+        |    SELECT dst, aid AS maid, c AS mcnt FROM (
+        |      SELECT e.dst, p.aid, count(*) AS c,
+        |             row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, p.aid DESC) AS rn
         |      FROM a${t - 1} p JOIN predges e ON e.src = p.vid
         |      WHERE p.resp GROUP BY e.dst, p.aid
-        |    ) GROUP BY dst
+        |    ) WHERE rn = 1
         |  ) m ON m.dst = s.vid
         |)""".stripMargin)
     }

@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
  *
  * Vertices with no out-edges get a self-loop, exactly like the reference's
  * parse rule (PageRankUserTool.java:42-46); the weighted variant gives the
- * self-loop weight 0.1 (SPUserToolDeterm.parseGraphData:45-52). All pure
+ * self-loop weight 0.1, following the evident intent of the reference's
+ * dangling-vertex branch (SPUserToolDeterm.parseGraphData:45-52 — its
+ * executed first branch leaves weights null, a latent bug; the 0.1
+ * convention is applied identically in engine and oracle). All pure
  * column expressions — the scan stays in whole-stage codegen and the text
  * file splits parallelize like any Spark text source.
  */
@@ -70,6 +73,25 @@ object AdjacencyText {
        |  UNION ALL
        |  SELECT src, src AS dst, 0.1 AS weight FROM raw
        |  WHERE rest IS NULL OR len(string_split(rest, ':')) < 2
+       |)""".stripMargin
+
+  /** DuckDB CTEs parsing the same unweighted text file: `vertices`(vid)
+   * over src ∪ dst and `uedges`(src, dst) with dangling self-loops — the
+   * mirror of [[edges]], so the reference's PRIMARY input format
+   * (io/EdgeParser.java:134-157) is correctness-gated end-to-end. */
+  def unweightedOracleCtes(path: String): String =
+    s"""rawu AS MATERIALIZED (
+       |  SELECT * FROM read_csv('$path', delim='\\t', header=false,
+       |    columns={'src':'BIGINT','rest':'VARCHAR'}, null_padding=true, auto_detect=false, quote='')
+       |),
+       |uedges AS MATERIALIZED (
+       |  SELECT src, CAST(unnest(string_split(rest, ':')) AS BIGINT) AS dst FROM rawu
+       |  WHERE rest IS NOT NULL AND len(trim(rest)) > 0
+       |  UNION ALL
+       |  SELECT src, src AS dst FROM rawu WHERE rest IS NULL OR len(trim(rest)) = 0
+       |),
+       |vertices AS MATERIALIZED (
+       |  SELECT DISTINCT vid FROM (SELECT src AS vid FROM uedges UNION ALL SELECT dst AS vid FROM uedges)
        |)""".stripMargin
 
   private def parsed(spark: SparkSession, path: String): DataFrame =

@@ -138,9 +138,6 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     ec.unpersist(blocking = false)
     val saltReplicas = if (hotVids.nonEmpty) Some((p, hotVids)) else None
     val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
-    program.maxVidBound.foreach(b => require(maxVid < b,
-      s"${program.name}: max vid $maxVid >= $b breaks the program's (count,id) long packing; " +
-        "re-id vertices or switch the aggregate to max(struct(cnt, id))"))
     val blkLen = math.max(1L, (maxVid + cfg.numBlocks) / cfg.numBlocks)
     val cost = new CostModel(cfg.mode, cfg.numExecutors, cfg.broadcastCapBytes)
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, program.name))

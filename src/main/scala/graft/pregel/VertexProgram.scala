@@ -65,12 +65,6 @@ trait VertexProgram {
   def updateRule: UpdateRule
   def maxSupersteps: Int
 
-  /** Programs that pack (count, id) into one long via `cnt*ENC + id`
-   * (LPA, SA) are only injective while every vid < ENC. The kernel already
-   * computes max(vid); declaring the bound here turns a silent wrong answer
-   * beyond ENC into a fail-fast require(). */
-  def maxVidBound: Option[Long] = None
-
   /** Extra early-stop on top of respondCount==0 (e.g. LPA's jobAgg==0,
    * LPABSP.java:69-74). jobAgg is the PREVIOUS superstep's aggregate,
    * exactly like the reference's broadcast-next-step semantics. */
