@@ -110,33 +110,40 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       else Array.empty[Long]
     // Packed per-source adjacency (the reference's VBlock/CSR layout,
     // graph/GraphDataServerMem.java adjacency arrays; SURVEY §7.2): one row
-    // per (src[, salt]) holding the out-edge array. The exchange joins this
-    // instead of the flat edge list — the hash-join build side shrinks from
-    // |E| rows to |V| rows (measured ~15% faster per exchange round at 10M
+    // per src holding the out-edge array. The exchange joins this instead
+    // of the flat edge list — the hash-join build side shrinks from |E|
+    // rows to |V| rows (measured ~15% faster per exchange round at 10M
     // edges) and per-sender edges arrive as one contiguous array (the CSR
     // gather), exploded after the join inside the same codegen stage.
-    // Salted hubs pack per (src, salt) group, so a hub's array is split
-    // into p bounded chunks rather than one monster row.
+    //
+    // Hot/cold split (round 3; round 2 salted the WHOLE relation, which
+    // put (src, salt) into the join key and re-exchanged every sender each
+    // superstep — driver-measured slower than unsalted, BENCH_r02 skew):
+    // the cold relation keeps the plain (src) join key, so the senders
+    // side keeps its hash(vid) partitioning and the PUSH join stays
+    // exchange-free; only the ≤ p/2 hub sources move to a salted hot
+    // relation whose per-(src, salt) chunks spread over all partitions,
+    // joined against a BROADCAST of the (few) hot senders — salting then
+    // costs nothing for the cold 99.99% of the graph.
     val hasWeight = edges.columns.contains("weight")
     val edgeStruct =
       if (hasWeight) struct(col("dst"), col("weight"))
       else struct(col("dst"))
-    // Join keys stay (src) when unsalted so the senders side keeps its
-    // hash(vid) partitioning and the PUSH join is exchange-free; salting
-    // adds the salt key (and a senders shuffle) only when hubs exist.
-    val e = (if (hotVids.nonEmpty)
-        ec.withColumn("_salt",
-            when(col("src").isin(hotVids.toIndexedSeq: _*), pmod(hash(col("dst")), lit(p)))
-              .otherwise(lit(0)))
+    val adj: PackedAdj = {
+      val coldSrc =
+        if (hotVids.isEmpty) ec else ec.filter(!col("src").isin(hotVids.toIndexedSeq: _*))
+      val cold = coldSrc.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
+        .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+      val hot =
+        if (hotVids.isEmpty) None
+        else Some(ec.filter(col("src").isin(hotVids.toIndexedSeq: _*))
+          .withColumn("_salt", pmod(hash(col("dst")), lit(p)))
           .groupBy(col("src"), col("_salt")).agg(collect_list(edgeStruct).as("_adj"))
-          .repartition(p, col("src"), col("_salt"))
-      else
-        ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
-          .repartition(p, col("src"))
-      ).persist(StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize the packed relation, then drop the staged input
+          .repartition(p, col("src"), col("_salt")).persist(StorageLevel.MEMORY_AND_DISK))
+      cold.count(); hot.foreach(_.count()) // materialize, then drop staged input
+      PackedAdj(cold, hot, hotVids)
+    }
     ec.unpersist(blocking = false)
-    val saltReplicas = if (hotVids.nonEmpty) Some((p, hotVids)) else None
     val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
     val blkLen = math.max(1L, (maxVid + cfg.numBlocks) / cfg.numBlocks)
     val cost = new CostModel(cfg.mode, cfg.numExecutors, cfg.broadcastCapBytes)
@@ -171,7 +178,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     if (resumed.isDefined) {
       // regenerate the inbox the checkpointed step had already sent
       val style = cost.choose(startStep, state.filter(col("respond")).count(), 0, cfg.stateRowBytes, 1.0)
-      inbox = Some(program.aggregate(exchange(program, state, e, style, Nil, blkLen, saltReplicas)))
+      inbox = Some(program.aggregate(exchange(program, state.filter(col("respond")), adj, style, Nil, blkLen)))
     }
 
     var jobAgg = resumed.map(_._3).getOrElse(0.0)
@@ -197,7 +204,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         }
         st = program.update(joined, tt, jobAgg)
         if (tt == 2 && sys.env.contains("GRAFT_EXPLAIN")) st.explain("formatted")
-        if (tt < tEnd) in = Some(program.aggregate(exchange(program, st, e, style, Nil, blkLen, saltReplicas)))
+        if (tt < tEnd) in = Some(program.aggregate(exchange(program, st.filter(col("respond")), adj, style, Nil, blkLen)))
       }
       // ONE action per barrier. The lazy localCheckpoint materializes (and
       // truncates lineage — the reference's double-buffered value files,
@@ -243,7 +250,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       if (doCkpt) cur = ckpt.get.save(newState, tEnd, newJobAgg, metrics.toSeq)
 
       if (!halt) {
-        val msgs = exchange(program, cur, e, style, respondBlocks.toSeq, blkLen, saltReplicas)
+        val msgs = exchange(program, cur.filter(col("respond")), adj, style, respondBlocks.toSeq, blkLen)
         inbox = Some(program.aggregate(msgs))
       } else done = true
 
@@ -254,7 +261,8 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       jobAgg = newJobAgg
       t = tEnd + 1
     }
-    e.unpersist(blocking = false)
+    adj.cold.unpersist(blocking = false)
+    adj.hot.foreach(_.unpersist(blocking = false))
     deg.unpersist(blocking = false)
     staticBase.foreach(_.unpersist(blocking = false))
     (state, metrics.toSeq)
@@ -265,13 +273,11 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
    * the sender's own id — e.g. MIS broadcasts it); the edge's dst is
    * aliased out FIRST and renamed in a second projection so it can never
    * shadow the sender's `vid` via lateral column aliasing. */
-  private def exchange(program: VertexProgram, state: DataFrame, e: DataFrame,
-                       style: Style, respondBlocks: Seq[Long], blkLen: Long,
-                       saltReplicas: Option[(Int, Array[Long])] = None): DataFrame = {
-    val senders = state.filter(col("respond"))
+  private[pregel] def exchange(program: VertexProgram, senders: DataFrame, adj: PackedAdj,
+                               style: Style, respondBlocks: Seq[Long], blkLen: Long): DataFrame = {
     // pull-route pruning (C13): when few source blocks respond, push a
     // block-membership predicate into the (big) edge relation scan.
-    val eSrc =
+    def prune(e: DataFrame): DataFrame =
       if (respondBlocks.nonEmpty && respondBlocks.length < cfg.numBlocks * cfg.blockPruneThreshold)
         e.filter(expr(s"src div $blkLen").isin(respondBlocks: _*))
       else e
@@ -281,21 +287,33 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // sender's own `vid` visible to msgExpr (MIS broadcasts it).
     val s2 = senders.withColumn("_graft_src", col("vid"))
     val cond = col("_graft_src") === col("src")
-    val joined = (style, saltReplicas) match {
-      case (Pull, _) => eSrc.join(broadcast(s2), cond) // b-PULL: gather on edge side
-      case (Push, None) => s2.join(eSrc.hint("shuffle_hash"), cond) // PUSH: scatter
-      case (Push, Some((nSalt, hotVids))) =>
-        // hub-salted PUSH: hot senders replicated to every salt value so
-        // each matches exactly the edge rows hashed to that salt — the
-        // hub's out-edge explosion spreads over nSalt tasks instead of one
-        val sh = s2.withColumn("_ssalt", explode(
-          when(col("vid").isin(hotVids.toIndexedSeq: _*), sequence(lit(0), lit(nSalt - 1)))
-            .otherwise(array(lit(0)))))
-        sh.join(eSrc.hint("shuffle_hash"), cond && col("_ssalt") === col("_salt"))
+    val cold = prune(adj.cold)
+    val joined = style match {
+      case Pull =>
+        // b-PULL: gather on the edge side; the hot relation (same schema
+        // minus the salt key) unions in and gathers from the same
+        // broadcast — edge rows never move either way.
+        val all = adj.hot.map(h => cold.unionByName(prune(h).drop("_salt"))).getOrElse(cold)
+        all.join(broadcast(s2), cond)
+      case Push =>
+        // PUSH scatter over the cold graph: plain (src) key, senders keep
+        // their hash(vid) partitioning — exchange-free.
+        val coldJ = s2.join(cold.hint("shuffle_hash"), cond)
+        adj.hot match {
+          case None => coldJ
+          case Some(h) =>
+            // Hot hubs: the ≤ p/2 hot senders (driver-known vids, literal
+            // isin) BROADCAST against the salted hot chunks, which stay
+            // partitioned by (src, salt) — the hub's out-edge explosion
+            // runs in p tasks and no sender row is ever re-shuffled.
+            val hotSenders = s2.filter(col("vid").isin(adj.hotVids.toIndexedSeq: _*))
+            val hotJ = prune(h).drop("_salt").join(broadcast(hotSenders), cond)
+            coldJ.unionByName(hotJ)
+        }
     }
     // CSR gather: unpack the matched source's out-edge array (one explode
     // per sender row, inside the same codegen stage as the join).
-    val hasWeight = e.schema("_adj").dataType
+    val hasWeight = adj.cold.schema("_adj").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
       .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("weight")
     val perEdge0 = joined.withColumn("_edge", explode(col("_adj")))
@@ -305,3 +323,9 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       .select(col("_graft_dst").as("vid"), col("msg"))
   }
 }
+
+/** Packed CSR adjacency: `cold` = (src, _adj) hash-partitioned on src;
+ * `hot` = the hub sources' edges as (src, _salt, _adj) chunks spread over
+ * all partitions by hash(dst) salt (present only when hubs exist). */
+private[pregel] final case class PackedAdj(
+    cold: DataFrame, hot: Option[DataFrame], hotVids: Array[Long])
