@@ -49,6 +49,8 @@ final class ConnectedComponents(maxIters: Int = 100) extends VertexProgram {
         smaller.as("respond"))
     }
 
+  // messaged-only updates: unmessaged rows keep label, respond=false
+  override val deltaFilter: Option[Column] = Some(col("magg").isNotNull)
   val updateRule: UpdateRule = MsgDepend
   val maxSupersteps: Int = maxIters
 }

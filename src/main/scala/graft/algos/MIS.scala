@@ -66,6 +66,13 @@ final class MIS(maxIters: Int = 60) extends VertexProgram {
         (dominated || (col("magg").isNull && col("status") === 0)).as("respond"))
     }
 
+  // MSG_ACTIVE_DEPENDED: besides messaged rows, every still-unknown vertex
+  // is touched each superstep (no-message selection / re-broadcast rules),
+  // so the active set is (status == 0) OR messaged; decided/unmessaged
+  // rows are identity with respond=false in every branch above.
+  override val deltaFilter: Option[Column] =
+    Some(col("status") === 0 || col("magg").isNotNull)
+  override val activeCol: Column = when(col("status") === 0, 1L).otherwise(0L)
   val updateRule: UpdateRule = MsgDepend
   val maxSupersteps: Int = maxIters
 }

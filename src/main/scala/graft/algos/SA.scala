@@ -54,6 +54,8 @@ final class SA(source: Long, maxIters: Int) extends VertexProgram {
     }
 
   override def vertexAggCol: Column = when(col("respond"), 1.0).otherwise(0.0)
+  // messaged-only updates: unmessaged rows keep (aid, cnt), respond=false
+  override val deltaFilter: Option[Column] = Some(col("maid").isNotNull)
   val updateRule: UpdateRule = MsgDepend
   val maxSupersteps: Int = maxIters
 }

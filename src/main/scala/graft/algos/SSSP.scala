@@ -47,6 +47,8 @@ final class SSSP(source: Long, maxIters: Int = 100) extends VertexProgram {
         smaller.as("respond"))
     }
 
+  // messaged-only updates: unmessaged rows keep dist, respond=false
+  override val deltaFilter: Option[Column] = Some(col("magg").isNotNull)
   val updateRule: UpdateRule = MsgDepend
   val maxSupersteps: Int = maxIters
 }

@@ -18,7 +18,9 @@ case class SuperstepMetrics(
     activeBlocks: Int,
     numBlocks: Int,
     wallMs: Long,
-    checkpointed: Boolean)
+    checkpointed: Boolean,
+    /** true = delta/active-set superstep (only touched rows materialized) */
+    delta: Boolean = false)
 
 case class PregelConfig(
     numPartitions: Int = 32,
@@ -46,7 +48,17 @@ case class PregelConfig(
      * activates only when hot sources exist. saltMinDeg <= 0 disables. */
     saltMinDeg: Long = 1L << 16,
     /** Max number of salted hub sources (driver-held list). */
-    maxHotSources: Int = 10000)
+    maxHotSources: Int = 10000,
+    /** Delta/active-set updates (reference C2 VBlock skip): when a
+     * program declares a deltaFilter and the upcoming superstep's
+     * activity bound (est. messages + active set) is below this fraction
+     * of |V|, only the touched rows are materialized as an overlay over
+     * the untouched base state — tail supersteps stop rewriting all |V|
+     * rows. <= 0 disables. */
+    deltaThreshold: Double = 0.3,
+    /** Overlays accumulated before compacting back to a full base state
+     * (compaction = one full-update superstep). */
+    maxOverlays: Int = 4)
 
 /**
  * The superstep kernel — Spark-native analog of the reference's BSP driver
@@ -170,15 +182,58 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // 1-2 re-exchange the state once before the partitioning stabilizes at
     // hash(vid) from superstep 3 on (verified via the GRAFT_EXPLAIN
     // [part] trace). A one-off n-row shuffle per run — left as-is.
-    var state = resumed.map(_._2).getOrElse(
+    //
+    // State representation (round 3, reference C2 VBlock-skip analog):
+    // `base` is the last fully-materialized state; `overlays` is a short
+    // list of small materialized deltas (full state schema, one per
+    // delta superstep, newest last). The logical state is base overridden
+    // by overlays newest-first; respond comes from the NEWEST overlay
+    // alone (a vertex responds only in the superstep that updated it).
+    // Full-update supersteps compact: they materialize the merged view
+    // and clear the overlays.
+    var base = resumed.map(_._2).getOrElse(
         program.initState(vertsWithDeg).repartition(p, col("vid")))
       .localCheckpoint(false)
+    var overlays: Vector[(DataFrame, Long)] = Vector.empty // (delta, rows)
+    var deltaRowsAcc = 0L
+    val nApprox = (maxVid + 1).toDouble // dense-id |V| proxy (upper-biased when sparse)
+    def view(): DataFrame =
+      if (overlays.isEmpty) base
+      else {
+        val cols = base.columns
+        val nOv = overlays.length
+        var df = base
+        overlays.zipWithIndex.foreach { case ((ov, rows), i) =>
+          val renamed = ov.select(col("vid") +: cols.toSeq.filterNot(_ == "vid")
+            .map(c => col(c).as(s"_o${i}_$c")): _*)
+          // overlays are hash(vid)-partitioned like base, so these joins
+          // are exchange-free; tiny overlays broadcast instead (skips the
+          // per-partition hash-table build on default-config sessions)
+          val r2 = if (rows <= 100000L) broadcast(renamed) else renamed
+          df = df.join(r2, Seq("vid"), "left_outer")
+        }
+        val sel = cols.toSeq.map {
+          case "vid" => col("vid")
+          case "respond" => coalesce(col(s"_o${nOv - 1}_respond"), lit(false)).as("respond")
+          case c => coalesce(((nOv - 1) to 0 by -1).map(i => col(s"_o${i}_$c")) :+ col(c): _*).as(c)
+        }
+        df.select(sel: _*)
+      }
+    def retireState(): Unit = {
+      // blocking: bounds block-manager storage — async unpersist let
+      // retired states pile up over long runs
+      base.unpersist(blocking = true)
+      overlays.foreach(_._1.unpersist(blocking = true))
+      overlays = Vector.empty
+      deltaRowsAcc = 0L
+    }
+
     var startStep = resumed.map(_._1 + 1).getOrElse(1)
     var inbox: Option[DataFrame] = None
     if (resumed.isDefined) {
       // regenerate the inbox the checkpointed step had already sent
-      val style = cost.choose(startStep, state.filter(col("respond")).count(), 0, cfg.stateRowBytes, 1.0)
-      inbox = Some(program.aggregate(exchange(program, state.filter(col("respond")), adj, style, Nil, blkLen)))
+      val style = cost.choose(startStep, base.filter(col("respond")).count(), 0, cfg.stateRowBytes, 1.0)
+      inbox = Some(program.aggregate(exchange(program, base.filter(col("respond")), adj, style, Nil, blkLen)))
     }
 
     var jobAgg = resumed.map(_._3).getOrElse(0.0)
@@ -186,86 +241,127 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val fuse =
       if (program.usesPriorState || program.updateRule != UpdateAll) 1
       else math.max(1, cfg.fusedSupersteps)
+    // per-block SuperStepReport (VerBlockBeta analog): row count, respond
+    // count, est. messages (sum of respond out-degrees), task aggregate,
+    // active count — over the materialized rows of this superstep (full
+    // state in full mode, the overlay alone in delta mode).
+    def blockReport(df: DataFrame) = df
+      .groupBy(expr(s"vid div $blkLen").as("blk")) // integer div: exact beyond 2^53 vids
+      .agg(
+        sum(when(col("respond"), 1L).otherwise(0L)).as("respond"),
+        sum(when(col("respond"), col("outdeg")).otherwise(0L)).as("estMsgs"),
+        sum(program.vertexAggCol).as("vagg"),
+        count(lit(1)).as("rows"),
+        sum(program.activeCol).as("active"))
+      .collect()
     var t = startStep
     var done = false
     var style: Style = Pull
+    var lastEstMsgs = Long.MaxValue // activity bound for the NEXT update
+    var lastActive = 0L
     while (!done && t <= program.maxSupersteps) {
       val t0 = System.nanoTime()
       // fuse supersteps t..tEnd into one lazy plan (barrier at tEnd)
       val tEnd = math.min(t + fuse - 1, program.maxSupersteps)
-      var st = state
-      var in = inbox
-      for (tt <- t to tEnd) {
-        val joinLeft = staticBase.getOrElse(st)
-        val joined = in match {
-          case Some(ib) => joinLeft.join(ib.withColumnRenamed("vid", "_mvid"),
-            col("vid") === col("_mvid"), "left_outer").drop("_mvid")
-          case None => program.emptyInboxCols.foldLeft(joinLeft)((df, c) => df.withColumn(c._1, c._2))
+      val willCkptBoundary = ckpt.isDefined &&
+        tEnd / cfg.checkpointEvery > (t - 1) / cfg.checkpointEvery
+      // Delta superstep (C2 skip): only when the program declares the
+      // contract, the upcoming activity bound is a small fraction of |V|,
+      // and the overlay budget holds (else this step runs full = compacts).
+      val deltaStep = cfg.deltaThreshold > 0 && program.deltaFilter.isDefined &&
+        inbox.isDefined && t > startStep && !willCkptBoundary &&
+        lastEstMsgs + lastActive <= cfg.deltaThreshold * nApprox &&
+        overlays.length < cfg.maxOverlays &&
+        deltaRowsAcc <= 0.25 * nApprox
+      var newState: DataFrame = null // full mode only
+      var newDelta: DataFrame = null // delta mode only
+      if (deltaStep) {
+        val ib = inbox.get.withColumnRenamed("vid", "_mvid")
+        val ibr = if (lastEstMsgs <= 100000L) broadcast(ib) else ib
+        val joinedAll = view().join(ibr, col("vid") === col("_mvid"), "left_outer").drop("_mvid")
+        val touched = joinedAll.filter(program.deltaFilter.get)
+        newDelta = program.update(touched, t, jobAgg).localCheckpoint(false)
+      } else {
+        var st = view()
+        var in = inbox
+        for (tt <- t to tEnd) {
+          val joinLeft = staticBase.getOrElse(st)
+          val joined = in match {
+            case Some(ib) => joinLeft.join(ib.withColumnRenamed("vid", "_mvid"),
+              col("vid") === col("_mvid"), "left_outer").drop("_mvid")
+            case None => program.emptyInboxCols.foldLeft(joinLeft)((df, c) => df.withColumn(c._1, c._2))
+          }
+          st = program.update(joined, tt, jobAgg)
+          if (tt == 2 && sys.env.contains("GRAFT_EXPLAIN")) st.explain("formatted")
+          if (tt < tEnd) in = Some(program.aggregate(exchange(program, st.filter(col("respond")), adj, style, Nil, blkLen)))
         }
-        st = program.update(joined, tt, jobAgg)
-        if (tt == 2 && sys.env.contains("GRAFT_EXPLAIN")) st.explain("formatted")
-        if (tt < tEnd) in = Some(program.aggregate(exchange(program, st.filter(col("respond")), adj, style, Nil, blkLen)))
+        // ONE action per barrier. The lazy localCheckpoint materializes
+        // (and truncates lineage — the reference's double-buffered value
+        // files, GraphDataServerDisk.java:1222-1258) under the same job
+        // that computes the block report.
+        // one-arg overload ONLY: localCheckpoint(eager, storageLevel)
+        // builds a LogicalRDD with UnknownPartitioning (verified via
+        // explain), which silently re-exchanges the state in every
+        // downstream join; the one-arg form preserves hash(vid) and keeps
+        // the superstep's joins co-partitioned.
+        newState = st.localCheckpoint(false)
+        if (sys.env.contains("GRAFT_EXPLAIN"))
+          println(s"[part] step=$t st-top=" + st.queryExecution.executedPlan.outputPartitioning)
+        if (sys.env.contains("GRAFT_PHASES"))
+          println(s"[phases] step=$t-$tEnd " + newState.queryExecution.tracker.phases
+            .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" "))
       }
-      // ONE action per barrier. The lazy localCheckpoint materializes (and
-      // truncates lineage — the reference's double-buffered value files,
-      // GraphDataServerDisk.java:1222-1258) under the same job that
-      // computes the per-block SuperStepReport: respond counts, est.
-      // messages (sum of respond out-degrees), and the task aggregate,
-      // grouped by VBlock (VerBlockBeta analog).
-      // one-arg overload ONLY: localCheckpoint(eager, storageLevel) builds a
-      // LogicalRDD with UnknownPartitioning (verified via explain), which
-      // silently re-exchanges the state in every downstream join; the
-      // one-arg form preserves hash(vid) and keeps the superstep's joins
-      // co-partitioned.
-      val newState = st.localCheckpoint(false)
-      if (sys.env.contains("GRAFT_EXPLAIN"))
-        println(s"[part] step=$t st-top=" + st.queryExecution.executedPlan.outputPartitioning +
-          " state-scan=" + state.queryExecution.executedPlan.outputPartitioning)
-      if (sys.env.contains("GRAFT_PHASES"))
-        println(s"[phases] step=$t-$tEnd " + newState.queryExecution.tracker.phases
-          .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" "))
-      val blockRows = newState
-        .groupBy(expr(s"vid div $blkLen").as("blk")) // integer div: exact beyond 2^53 vids
-        .agg(
-          sum(when(col("respond"), 1L).otherwise(0L)).as("respond"),
-          sum(when(col("respond"), col("outdeg")).otherwise(0L)).as("estMsgs"),
-          sum(program.vertexAggCol).as("vagg"))
-        .collect()
+      val blockRows = blockReport(if (deltaStep) newDelta else newState)
       val respondCount = blockRows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
       val estMsgs = blockRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
       val newJobAgg = blockRows.map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3)).sum
+      val touchedRows = blockRows.map(r => if (r.isNullAt(4)) 0L else r.getLong(4)).sum
+      val activeCount = blockRows.map(r => if (r.isNullAt(5)) 0L else r.getLong(5)).sum
       val respondBlocks = blockRows.filter(r => !r.isNullAt(1) && r.getLong(1) > 0).map(_.getLong(0))
 
       val halt = respondCount == 0L || program.halted(newJobAgg, tEnd) || tEnd == program.maxSupersteps
       style = cost.choose(tEnd, respondCount, estMsgs, cfg.stateRowBytes,
         combineRatio = math.min(1.0, (maxVid + 1).toDouble / math.max(1L, estMsgs)))
 
-      val doCkpt = ckpt.isDefined &&
-        (tEnd / cfg.checkpointEvery > (t - 1) / cfg.checkpointEvery || halt) // crossed a ckpt boundary
+      val doCkpt = ckpt.isDefined && (willCkptBoundary || halt)
       val wallMs = (System.nanoTime() - t0) / 1000000
       val m = SuperstepMetrics(tEnd, style.tag, respondCount, estMsgs, newJobAgg,
-        cost.lastQ, respondBlocks.length, cfg.numBlocks, wallMs / (tEnd - t + 1), doCkpt)
+        cost.lastQ, respondBlocks.length, cfg.numBlocks, wallMs / (tEnd - t + 1), doCkpt, deltaStep)
       for (tt <- t to tEnd) metrics += m.copy(superstep = tt)
-      var cur = newState
-      if (doCkpt) cur = ckpt.get.save(newState, tEnd, newJobAgg, metrics.toSeq)
+
+      var senders: DataFrame = null
+      if (deltaStep) {
+        overlays :+= ((newDelta, touchedRows))
+        deltaRowsAcc += touchedRows
+        senders = newDelta.filter(col("respond"))
+        if (doCkpt) { // halt-time snapshot: persist the merged view
+          val saved = ckpt.get.save(view(), tEnd, newJobAgg, metrics.toSeq)
+          retireState()
+          base = saved
+        }
+      } else {
+        var cur = newState
+        if (doCkpt) cur = ckpt.get.save(newState, tEnd, newJobAgg, metrics.toSeq)
+        senders = cur.filter(col("respond"))
+        retireState() // full step compacts: old base + overlays retire
+        base = cur
+      }
 
       if (!halt) {
-        val msgs = exchange(program, cur.filter(col("respond")), adj, style, respondBlocks.toSeq, blkLen)
+        val msgs = exchange(program, senders, adj, style, respondBlocks.toSeq, blkLen)
         inbox = Some(program.aggregate(msgs))
       } else done = true
 
-      // blocking: bounds block-manager storage to two state generations —
-      // async unpersist let retired states pile up over long runs
-      state.unpersist(blocking = true)
-      state = cur
       jobAgg = newJobAgg
+      lastEstMsgs = estMsgs
+      lastActive = activeCount
       t = tEnd + 1
     }
     adj.cold.unpersist(blocking = false)
     adj.hot.foreach(_.unpersist(blocking = false))
     deg.unpersist(blocking = false)
     staticBase.foreach(_.unpersist(blocking = false))
-    (state, metrics.toSeq)
+    (view(), metrics.toSeq)
   }
 
   /** Build the raw message relation msgs(vid, msg) for one exchange.

@@ -65,6 +65,24 @@ trait VertexProgram {
   def updateRule: UpdateRule
   def maxSupersteps: Int
 
+  /** Delta/active-set contract — the Spark analog of the reference's
+   * VBlock skip rule (BSPTask.isUpdateVBlock:542-580,
+   * GraphDataServer.skipBucket:436-455): Some(cond) declares that for any
+   * state-join-inbox row where `cond` is FALSE, update() emits the row
+   * UNCHANGED except respond=false, and vertexAggCol evaluates to 0.
+   * The kernel then materializes only the rows matching `cond` each
+   * superstep (a small overlay carried over the untouched base state)
+   * instead of rewriting all |V| rows — the tail supersteps of
+   * long-convergence algorithms (SSSP/CC) become O(|active|) writes.
+   * Requirements: value columns must be non-null (NULL marks "absent" in
+   * the overlay merge) and update() must be a per-row function. */
+  def deltaFilter: Option[Column] = None
+
+  /** Per-row count of vertices that must be processed every superstep
+   * even without messages (MIS: the still-unknown set). Summed at the
+   * barrier; the kernel stays in full-update mode while this is large. */
+  def activeCol: Column = lit(0L)
+
   /** Extra early-stop on top of respondCount==0 (e.g. LPA's jobAgg==0,
    * LPABSP.java:69-74). jobAgg is the PREVIOUS superstep's aggregate,
    * exactly like the reference's broadcast-next-step semantics. */
