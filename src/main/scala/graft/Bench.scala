@@ -325,20 +325,34 @@ object Bench {
     spark.stop()
 
     // ================= 3) skew: hub salting, interleaved off/on ==========
+    // The graph is the transcript graph PLUS a genuine hub: vertex 0
+    // linked to every other vertex (~1.7M-degree — the shape the north
+    // rule's "explicit salting for skewed hubs" targets; the transcript
+    // graph's own 386k-degree hubs cost one sub-second task here and
+    // cannot show the effect). The algorithm is LPA — UpdateAll, every
+    // vertex responds every superstep — so the unsalted hub's one-task
+    // out-edge explosion recurs at EVERY superstep instead of only the
+    // first.
     val skewJson = {
       val s = session(hiCores, scaleParts, aqe = false)
       val t = Transcripts.synthetic(s, 150000, 12, seed = 7L)
       val v = LinkGraph.vertices(t).select("vid", "turns", "turn_idx", "tool", "conv_id").cache()
-      val sym = LinkGraph.symmetrize(LinkGraph.directedEdges(v)).cache()
+      val base = LinkGraph.symmetrize(LinkGraph.directedEdges(v))
+      val leaves = v.select(col("vid")).filter(col("vid") =!= 0L)
+      val star = leaves.select(lit(0L).as("src"), col("vid").as("dst"))
+      val sym = base
+        .unionByName(star)
+        .unionByName(star.select(col("dst").as("src"), col("src").as("dst")))
+        .cache()
       val m = sym.count()
       val maxDeg = sym.groupBy("src").count().agg(max("count")).head().getLong(0)
-      def ccRun(saltMinDeg: Long): (Double, Long, Long) = {
+      def lpaRun(saltMinDeg: Long): (Double, Long, Long) = {
         val stats = new TaskStats
         s.sparkContext.addSparkListener(stats)
         val t0 = System.nanoTime()
         new Pregel(s, PregelConfig(numPartitions = scaleParts, mode = Hybrid,
           saltMinDeg = saltMinDeg))
-          .run(new ConnectedComponents(8), v.select("vid"), sym)
+          .run(new graft.algos.LabelPropagation(16), v.select("vid"), sym)
         val secs = (System.nanoTime() - t0) / 1e9
         drainListener(s, stats)
         s.sparkContext.removeSparkListener(stats)
@@ -347,12 +361,13 @@ object Bench {
       // interleaved off/on twice: per-variant min wall (adjacent runs see
       // the same host window; min drops a one-off spike), task stats from
       // the faster run of each variant
-      val off = Seq(ccRun(0L), ccRun(0L))
-      val on = Seq(ccRun(1L << 16), ccRun(1L << 16))
+      val off0 = lpaRun(0L); val on0 = lpaRun(1L << 16)
+      val off = Seq(off0, lpaRun(0L))
+      val on = Seq(on0, lpaRun(1L << 16))
       s.stop()
       val (unsSecs, unsMax, unsP50) = off.minBy(_._1)
       val (salSecs, salMax, salP50) = on.minBy(_._1)
-      s""""skew":{"edges":$m,"max_degree":$maxDeg,"cc_supersteps":8,""" +
+      s""""skew":{"edges":$m,"max_degree":$maxDeg,"algo":"lpa","supersteps":16,""" +
         s""""unsalted":{"secs":${f"$unsSecs%.2f"},"task_ms_max":$unsMax,"task_ms_p50":$unsP50},""" +
         s""""salted":{"secs":${f"$salSecs%.2f"},"task_ms_max":$salMax,"task_ms_p50":$salP50}}"""
     }

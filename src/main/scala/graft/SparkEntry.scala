@@ -58,10 +58,18 @@ object SparkEntry {
     // drop entries of stopped sessions: their cached plans are unusable
     // and would otherwise pin the session object for the JVM's lifetime
     graphs.keySet.removeIf(_._1.sparkContext.isStopped)
-    graphs.computeIfAbsent((spark, dir), { key =>
-      val verts = LinkGraph.vertices(Transcripts.fromEvents(key._1, key._2)).cache()
-      G(verts, LinkGraph.directedEdges(verts), verts.count())
-    })
+    val key = (spark, dir)
+    val existing = graphs.get(key)
+    if (existing != null) existing
+    else {
+      // derive OUTSIDE the map lock — the derivation runs Spark jobs and
+      // computeIfAbsent would hold the bin lock for their whole duration;
+      // a racing loser unpersists its duplicate cache and adopts the winner
+      val verts = LinkGraph.vertices(Transcripts.fromEvents(spark, dir)).cache()
+      val g = G(verts, LinkGraph.directedEdges(verts), verts.count())
+      val prev = graphs.putIfAbsent(key, g)
+      if (prev != null) { verts.unpersist(blocking = false); prev } else g
+    }
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -123,7 +123,9 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: (a, b, jaccard) above threshold. */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, minJaccard: Double = 0.2): DataFrame = {
-    val sh = shingles(docs, 2).cache()
+    // single-action operator: repeated shingle refs reuse exchanges; a
+    // cache here would outlive the query and pile up across invocations
+    val sh = shingles(docs, 2)
     val cands = lshCandidates(minhashSigs(sh, k), bands, k / bands)
     verifyJaccard(cands, sh).filter(col("jaccard") >= minJaccard)
       .orderBy("a", "b")
@@ -191,7 +193,12 @@ object Dedup {
    * count per band — 2^8 at the 32-bit default; widen `bits` at real scale
    * (e.g. 60-bit signature -> 15-bit bands -> 32k buckets/band). */
   def simhashPairs(docs: DataFrame, bits: Int = 32, maxHam: Int = 3): DataFrame = {
-    val s = simhash(docs, bits).cache()
+    // no .cache(): the signature relation is referenced three times but the
+    // whole operator is ONE action, and its references produce identical
+    // aggregation subtrees that Spark's ReuseExchange collapses — a cache
+    // would pin signature blocks in the session long after the query
+    // (cross-invocation accumulation), for no within-query gain
+    val s = simhash(docs, bits)
     val nBands = maxHam + 1
     val baseW = bits / nBands
     val rem = bits % nBands
@@ -246,13 +253,13 @@ object Dedup {
         when(length(col("text")) >= n, sequence(lit(1), length(col("text")) - (n - 1)))
           .otherwise(array())).as("pos"))
       .select(col("doc_id"), expr(s"substring(text, pos, $n)").as("g"))
-      .distinct().cache()
+      .distinct() // single-action operator: repeated refs reuse exchanges, no standing cache
     // driver scalar, not a 1-row crossJoin: the join form plans a (benign
     // but alarming) BroadcastNestedLoopJoin that the plan-shape spec bans
     val nd = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
     val hot = allGrams.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > nd * maxDfFrac).select("g")
-    val grams = allGrams.join(broadcast(hot), Seq("g"), "left_anti").cache()
+    val grams = allGrams.join(broadcast(hot), Seq("g"), "left_anti")
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // PPJoin prefix filtering (lossless; Xiao et al., WWW'08): under a
     // global gram order (rarest first: df asc, gram asc), two docs with

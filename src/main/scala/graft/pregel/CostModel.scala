@@ -10,6 +10,13 @@ sealed trait ExchangeMode
 case object ForcePush extends ExchangeMode
 case object ForcePull extends ExchangeMode
 case object Hybrid extends ExchangeMode
+/** Mini-superstep estimation (reference C17): the style is re-decided
+ * EVERY superstep, pre-exchange, purely from the estimated counters of
+ * the imminent exchange (JobInProgress.getNextMiniSuperStepCommand
+ * :511-584) — no dead-band, no switch lock. PUSH must clear a
+ * pull-biased margin (:575-581, `miniQ < -230` in the reference's
+ * disk-seconds units; here MB of exchange traffic). */
+case object MiniHybrid extends ExchangeMode
 
 /**
  * Per-superstep exchange chooser, mirroring the reference's master-side
@@ -33,13 +40,24 @@ final class CostModel(
     numExecutors: Int,
     broadcastCapBytes: Long,
     deadBandMb: Double = 2.0,
-    switchLock: Int = 2) {
+    switchLock: Int = 2,
+    miniPushMarginMb: Double = 2.0) {
 
   private var current: Style = Pull
   private var first = true
   private var lockedUntil: Int = 0
   private var prevRespond: Long = Long.MaxValue
   var lastQ: Double = 0.0
+
+  /** Estimated push-minus-pull cost of the imminent exchange, in MB
+   * (q >= 0 -> pull cheaper). PULL = broadcast the respond values to every
+   * executor; PUSH = shuffle the respond relation + the partially-combined
+   * messages. */
+  private def qEstimate(respondBytes: Long, estMsgs: Long, combineRatio: Double): Double = {
+    val pullCost = respondBytes.toDouble * numExecutors
+    val pushCost = respondBytes.toDouble + estMsgs * 16.0 * combineRatio
+    (pushCost - pullCost) / (1 << 20)
+  }
 
   /** @param estMsgs   sum of out-degrees over responding vertices
    *  @param rowBytes  estimated bytes per respond-relation row
@@ -50,10 +68,16 @@ final class CostModel(
     mode match {
       case ForcePush => current = Push
       case ForcePull => current = Pull
+      case MiniHybrid =>
+        // C17: per-superstep miniQ decision from estimated counters alone
+        val q = qEstimate(respondBytes, estMsgs, combineRatio)
+        lastQ = q
+        current =
+          if (respondBytes > broadcastCapBytes) Push // cannot broadcast
+          else if (q < -miniPushMarginMb) Push // pull-biased margin
+          else Pull
       case Hybrid =>
-        val pullCost = respondBytes.toDouble * numExecutors
-        val pushCost = respondBytes.toDouble + estMsgs * 16.0 * combineRatio
-        val q = (pushCost - pullCost) / (1 << 20) // MB; q>=0 -> pull cheaper
+        val q = qEstimate(respondBytes, estMsgs, combineRatio)
         lastQ = q
         val decreasing = respondCount <= prevRespond
         val want =

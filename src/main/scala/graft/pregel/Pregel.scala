@@ -31,6 +31,12 @@ case class PregelConfig(
     stateRowBytes: Int = 32,
     checkpointDir: Option[String] = None,
     checkpointEvery: Int = 10,
+    /** Cost-based checkpoint gating on top of the interval (reference
+     * JobInProgress.isCheckPoint + JobMonitor.isDynCheckPointRequired):
+     * at an interval boundary, archive only when the runtime accumulated
+     * since the last snapshot has reached the average snapshot cost.
+     * false = archive at every boundary. Halting always snapshots. */
+    dynamicCheckpoint: Boolean = true,
     resume: Boolean = false,
     blockPruneThreshold: Double = 0.5,
     /** Fuse k supersteps into one Spark action (barrier every k) for
@@ -141,25 +147,36 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val edgeStruct =
       if (hasWeight) struct(col("dst"), col("weight"))
       else struct(col("dst"))
-    val adj: PackedAdj = {
-      val coldSrc =
-        if (hotVids.isEmpty) ec else ec.filter(!col("src").isin(hotVids.toIndexedSeq: _*))
-      val cold = coldSrc.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
-        .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-      val hot =
-        if (hotVids.isEmpty) None
-        else Some(ec.filter(col("src").isin(hotVids.toIndexedSeq: _*))
-          .withColumn("_salt", pmod(hash(col("dst")), lit(p)))
-          .groupBy(col("src"), col("_salt")).agg(collect_list(edgeStruct).as("_adj"))
-          .repartition(p, col("src"), col("_salt")).persist(StorageLevel.MEMORY_AND_DISK))
-      cold.count(); hot.foreach(_.count()) // materialize, then drop staged input
-      PackedAdj(cold, hot, hotVids)
-    }
+    val packed = ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
+      .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    packed.count() // materialize, then drop staged input
+    val adj: PackedAdj =
+      if (hotVids.isEmpty) PackedAdj(packed, None, hotVids)
+      else {
+        // cold = a filter over the one persisted packed relation — the
+        // exchange plan then references the cached packed plan exactly
+        // ONCE. (Materializing cold and hot as two separately-derived
+        // relations with overlapping lineage tripped DeduplicateRelations,
+        // whose exprId rewrite busted the cache's plan match and silently
+        // re-derived the packed adjacency EVERY superstep — measured as a
+        // flat ~6s/step, the round-2 skew-bench regression.) Only the hub
+        // rows (<= p/2 sources) re-explode into salted chunks, and the hot
+        // relation materializes as a LogicalRDD (eager ONE-ARG
+        // localCheckpoint: lineage-free, partitioning preserved).
+        val cold = packed.filter(!col("src").isin(hotVids.toIndexedSeq: _*))
+        val hot = packed.filter(col("src").isin(hotVids.toIndexedSeq: _*))
+          .select(col("src"), explode(col("_adj")).as("_edge"))
+          .withColumn("_salt", pmod(hash(col("_edge.dst")), lit(p)))
+          .groupBy(col("src"), col("_salt")).agg(collect_list(col("_edge")).as("_adj"))
+          .repartition(p, col("src"), col("_salt")).localCheckpoint(true)
+        PackedAdj(cold, Some(hot), hotVids)
+      }
     ec.unpersist(blocking = false)
     val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
     val blkLen = math.max(1L, (maxVid + cfg.numBlocks) / cfg.numBlocks)
     val cost = new CostModel(cfg.mode, cfg.numExecutors, cfg.broadcastCapBytes)
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, program.name))
+    val ckptPolicy = new CheckpointPolicy
 
     val vertsWithDeg = vertices.join(deg, Seq("vid"), "left_outer")
       .withColumn("outdeg", coalesce(col("outdeg"), lit(0L)))
@@ -323,8 +340,10 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       style = cost.choose(tEnd, respondCount, estMsgs, cfg.stateRowBytes,
         combineRatio = math.min(1.0, (maxVid + 1).toDouble / math.max(1L, estMsgs)))
 
-      val doCkpt = ckpt.isDefined && (willCkptBoundary || halt)
       val wallMs = (System.nanoTime() - t0) / 1000000
+      ckptPolicy.recordStep(wallMs)
+      val doCkpt = ckpt.isDefined &&
+        ((willCkptBoundary && (!cfg.dynamicCheckpoint || ckptPolicy.required)) || halt)
       val m = SuperstepMetrics(tEnd, style.tag, respondCount, estMsgs, newJobAgg,
         cost.lastQ, respondBlocks.length, cfg.numBlocks, wallMs / (tEnd - t + 1), doCkpt, deltaStep)
       for (tt <- t to tEnd) metrics += m.copy(superstep = tt)
@@ -335,13 +354,19 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         deltaRowsAcc += touchedRows
         senders = newDelta.filter(col("respond"))
         if (doCkpt) { // halt-time snapshot: persist the merged view
+          val c0 = System.nanoTime()
           val saved = ckpt.get.save(view(), tEnd, newJobAgg, metrics.toSeq)
+          ckptPolicy.recordCheckpoint((System.nanoTime() - c0) / 1000000)
           retireState()
           base = saved
         }
       } else {
         var cur = newState
-        if (doCkpt) cur = ckpt.get.save(newState, tEnd, newJobAgg, metrics.toSeq)
+        if (doCkpt) {
+          val c0 = System.nanoTime()
+          cur = ckpt.get.save(newState, tEnd, newJobAgg, metrics.toSeq)
+          ckptPolicy.recordCheckpoint((System.nanoTime() - c0) / 1000000)
+        }
         senders = cur.filter(col("respond"))
         retireState() // full step compacts: old base + overlays retire
         base = cur
@@ -357,8 +382,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       lastActive = activeCount
       t = tEnd + 1
     }
-    adj.cold.unpersist(blocking = false)
-    adj.hot.foreach(_.unpersist(blocking = false))
+    packed.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     staticBase.foreach(_.unpersist(blocking = false))
     (view(), metrics.toSeq)

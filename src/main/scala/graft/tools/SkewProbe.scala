@@ -3,10 +3,12 @@ package graft.tools
 import org.apache.spark.sql.functions._
 import graft.graph.{LinkGraph, Transcripts}
 import graft.pregel.{Pregel, PregelConfig, Hybrid}
-import graft.algos.ConnectedComponents
+import graft.algos.LabelPropagation
 import graft.Bench
 
-/** Dev probe: the Bench skew row in isolation with per-superstep walls.
+/** Dev probe: the Bench skew row in isolation with per-superstep walls —
+ * transcript graph + a genuine hub (vertex 0 linked to every vertex),
+ * LPA so every vertex responds every superstep.
  * Usage: runMain graft.tools.SkewProbe [convs] [iters] */
 object SkewProbe {
   def main(args: Array[String]): Unit = {
@@ -15,13 +17,17 @@ object SkewProbe {
     val s = Bench.session(16, 32, aqe = false)
     val t = Transcripts.synthetic(s, convs, 12, seed = 7L)
     val v = LinkGraph.vertices(t).select("vid", "turns", "turn_idx", "tool", "conv_id").cache()
-    val sym = LinkGraph.symmetrize(LinkGraph.directedEdges(v)).cache()
+    val base = LinkGraph.symmetrize(LinkGraph.directedEdges(v))
+    val star = v.select(col("vid")).filter(col("vid") =!= 0L)
+      .select(lit(0L).as("src"), col("vid").as("dst"))
+    val sym = base.unionByName(star)
+      .unionByName(star.select(col("dst").as("src"), col("src").as("dst"))).cache()
     println("[skew] edges=" + sym.count() +
       " maxdeg=" + sym.groupBy("src").count().agg(max("count")).head().getLong(0))
     for (salt <- Seq(0L, 1L << 16)) {
       val t0 = System.nanoTime()
       val (_, m) = new Pregel(s, PregelConfig(numPartitions = 32, mode = Hybrid, saltMinDeg = salt))
-        .run(new ConnectedComponents(iters), v.select("vid"), sym)
+        .run(new LabelPropagation(iters), v.select("vid"), sym)
       println(f"[skew] salt=$salt total=${(System.nanoTime() - t0) / 1e9}%.1f " +
         "wallMs=" + m.map(x => s"${x.wallMs}(${x.style})").mkString(","))
     }

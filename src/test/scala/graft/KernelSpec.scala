@@ -75,6 +75,47 @@ class KernelSpec extends SparkTestBase {
     assert(s6 == Pull, "switch interval must lock the style")
   }
 
+  test("mini-superstep estimator (C17): per-step miniQ decision, no lock, pull-biased") {
+    val cm = new CostModel(MiniHybrid, numExecutors = 4, broadcastCapBytes = 16L << 20)
+    // tiny flow -> pull (and the pull bias holds even when push is mildly cheaper)
+    assert(cm.choose(1, 10, 10, 10, 1.0) == Pull)
+    // big respond relation, few messages: broadcasting to every executor
+    // costs far more than shuffling -> push clears the pull-biased margin
+    assert(cm.choose(2, 50000, 10, 20, 1.0) == Push)
+    // flips straight back: mini mode has NO switch lock (per-superstep decision)
+    assert(cm.choose(3, 10, 10, 10, 1.0) == Pull)
+    // respond relation over the broadcast cap -> push regardless
+    val cm2 = new CostModel(MiniHybrid, numExecutors = 4, broadcastCapBytes = 1000)
+    assert(cm2.choose(4, 200000, 10, 10, 1.0) == Push)
+  }
+
+  test("mini-superstep mode produces identical results (style parity)") {
+    val (vids, directed) = RefOracle.randomGraph(20, 40, 9L)
+    val sym = (directed ++ directed.map(_.swap)).distinct
+    val verts = vertDF(vids.size.toLong)
+    def cc(mode: ExchangeMode) = ConnectedComponents.labels(
+      new Pregel(spark, PregelConfig(4, mode = mode)), verts, edgeDF(sym), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(MiniHybrid) == cc(Hybrid))
+  }
+
+  test("dynamic checkpoint policy: first boundary archives, cheap steps skip, recompute debt re-arms") {
+    val p = new CheckpointPolicy
+    // no history yet -> archive (averageCheckpointTime()==0 <= accumulated)
+    p.recordStep(100)
+    assert(p.required, "first eligible boundary must archive")
+    p.recordCheckpoint(1000) // expensive snapshot; accumulator resets
+    p.recordStep(100)
+    assert(!p.required, "100ms recompute debt < 1000ms avg snapshot cost -> skip")
+    (1 to 9).foreach(_ => p.recordStep(100))
+    assert(p.required, "1000ms accumulated recompute >= avg snapshot cost -> archive")
+    p.recordCheckpoint(500) // avg cost now 750ms
+    p.recordStep(600)
+    assert(!p.required)
+    p.recordStep(200)
+    assert(p.required)
+  }
+
   test("fused supersteps produce identical PageRank results") {
     val (vids, directed) = RefOracle.randomGraph(30, 60, 21L)
     val srcs = directed.map(_._1).toSet
