@@ -15,9 +15,8 @@ run / fork := true
 // single JSON metrics line from graft.Bench, and sbt's default logger
 // wraps forked output in "[info] " which breaks that parse (BENCH_r02
 // "parsed": null). StdoutOutput maps child stdout->stdout, stderr->stderr.
-run / outputStrategy := Some(StdoutOutput)
+// The Compile/run scope is the one both `run` and `runMain` consume.
 Compile / run / outputStrategy := Some(StdoutOutput)
-Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

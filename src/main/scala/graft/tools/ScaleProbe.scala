@@ -32,6 +32,7 @@ object ScaleProbe {
       // them pile up on tmpfs for the whole run
       .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.rdd.compress", sys.env.getOrElse("SPARK_GRAFT_RDD_COMPRESS", "true"))
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
