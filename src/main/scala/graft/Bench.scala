@@ -183,7 +183,13 @@ object Bench {
 
     // ================= 1) SCALING — first, interleaved pairs =============
     val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "1200000").toLong
+    // Per-superstep throughput is invariant to run length (PageRank's
+    // per-superstep work is constant — every vertex active every step),
+    // so the cheap hi side samples MORE supersteps of the same job: its
+    // steady-state floor needs ~3 warm groups before the min stabilizes,
+    // while each extra lo superstep costs ~25s.
     val scaleIters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "12").toInt
+    val scaleItersHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS_HI", "28").toInt
     val scaleParts = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
     val basePairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2").toInt
     // N vs 4N core pair: 2 -> 8. Measured raw multi-process CPU on this VM:
@@ -246,7 +252,7 @@ object Bench {
     var scaleEdges = 0L
     def runPair(): Unit = {
       val (sLo, m, loG) = scaleRun(loCores, scaleIters, fuse)
-      val (sHi, _, hiG) = scaleRun(hiCores, scaleIters, math.max(fuse * 2, 8))
+      val (sHi, _, hiG) = scaleRun(hiCores, scaleItersHi, math.max(fuse * 2, 8))
       scaleEdges = m
       pairs += Pair(sLo, sHi, loG, hiG)
     }
@@ -416,7 +422,7 @@ object Bench {
         s""""canary_before_secs":${f"$canaryBefore%.3f"},"canary_after_secs":${f"$canaryAfter%.3f"},""" +
         s""""pagerank":{"edges":$prEdges,"supersteps":$prSteps,"secs":${f"$prSecs%.3f"},""" +
         s""""edges_per_sec":${f"$edgesPerSec%.0f"},"supersteps_per_hour":${f"$superstepsPerHour%.1f"}},""" +
-        s""""scaling":{"edges":$scaleEdges,"iters":$scaleIters,"fuse":$fuse,"parts":$scaleParts,""" +
+        s""""scaling":{"edges":$scaleEdges,"iters":$scaleIters,"iters_hi":$scaleItersHi,"fuse":$fuse,"parts":$scaleParts,""" +
         s""""cores_lo":$loCores,"cores_hi":$hiCores,"pairs":$pairsJson,""" +
         s""""secs_lo":${f"${gatedPair.secsLo}%.3f"},"secs_hi":${f"${gatedPair.secsHi}%.3f"},""" +
         s""""steady_step_secs_lo":${f"${gatedPair.loMin}%.3f"},"steady_step_secs_hi":${f"${gatedPair.hiMin}%.3f"},""" +
