@@ -35,8 +35,10 @@ object SparkEntry {
 
   private def pregel(spark: SparkSession): Pregel = {
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // fuse=4: semantically identity (KernelSpec); UpdateAll programs
-    // (PageRank, LPA) amortize 4 supersteps per barrier
+    // fuse=4: semantically identity (KernelSpec); UpdateAll programs that
+    // don't read prior state (PageRank) amortize 4 supersteps per barrier —
+    // LPA/delta programs force fuse=1 in the kernel (usesPriorState /
+    // deltaFilter)
     new Pregel(spark, PregelConfig(numPartitions = p, mode = Hybrid,
       fusedSupersteps = 4))
   }

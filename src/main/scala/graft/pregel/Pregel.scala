@@ -1,6 +1,6 @@
 package graft.pregel
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -110,6 +110,19 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val ec = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = ec.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Empty-vertex guard: fail soft (empty result, no supersteps) instead of
+    // an NPE out of head() below — a user's first empty partition should not
+    // be a 500-line stack trace.
+    val maxVidRow = vertices.agg(max(col("vid"))).head()
+    if (maxVidRow.isNullAt(0)) {
+      val emptyState = program.initState(
+        vertices.join(deg, Seq("vid"), "left_outer")
+          .withColumn("outdeg", coalesce(col("outdeg"), lit(0L))))
+      ec.unpersist(blocking = false); deg.unpersist(blocking = false)
+      return (emptyState, Seq.empty)
+    }
+    val maxVid = maxVidRow.getLong(0)
+    val blkLen = math.max(1L, (maxVid + cfg.numBlocks) / cfg.numBlocks)
     val degStats = deg.agg(sum(col("outdeg")), max(col("outdeg"))).head()
     val edgeCount = if (degStats.isNullAt(0)) 0L else degStats.getLong(0)
     val hubCut = math.max(cfg.saltMinDeg, 2L * edgeCount / math.max(1, p))
@@ -147,33 +160,50 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val edgeStruct =
       if (hasWeight) struct(col("dst"), col("weight"))
       else struct(col("dst"))
-    val packed = ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
-      .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    packed.count() // materialize, then drop staged input
+    // L5 edge-bound stats (reference EdgeHashBucMgr.java:25-51): per-source-
+    // block edge count + dst id bounds, computed once over the flat edges
+    // at packing time and held on the driver (<= numBlocks rows). Feeds the
+    // cost model's pull-fragment volume (sum of edge counts over responding
+    // blocks) — the reference's dependency-matrix sizing.
+    val blkStats: Map[Long, BlockEdgeStats] = ec
+      .groupBy(expr(s"src div $blkLen").as("blk"))
+      .agg(count(lit(1)).as("cnt"), min(col("dst")).as("dmin"), max(col("dst")).as("dmax"))
+      .collect().map(r => r.getLong(0) -> BlockEdgeStats(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // Pack the adjacency WITHOUT ever materializing a hub's full out-edge
+    // list in one row or one task (round-3 plan packed ALL sources —
+    // including hubs — with one collect_list row per source, then built the
+    // salted hot relation by exploding that one row in ONE task: a
+    // 1.9M-struct array at sf0.1, gigabytes / a guaranteed 2 GB-array
+    // failure at 100x hub degrees, and the 17.4s straggler in the driver's
+    // r3 skew run). hotVids is decided from `deg` BEFORE packing, so:
+    //   cold = flat edges of non-hub sources, one collect_list row per
+    //          source, each bounded by the hub cut (~2|E|/p);
+    //   hot  = flat edges of hub sources grouped DIRECTLY by
+    //          (src, pmod(hash(dst), p)) — the hub's adjacency arrives
+    //          pre-split into p chunks of ~deg/p built by p parallel tasks;
+    //          no giant row ever exists anywhere in the plan.
+    // Lineage discipline (DeduplicateRelations cache-bust, round 2/3): the
+    // hot relation materializes as a LogicalRDD (eager ONE-ARG
+    // localCheckpoint — lineage-free, partitioning preserved), so the only
+    // lineage-bearing adjacency in any superstep plan is the persisted cold
+    // relation, referenced once per superstep.
     val adj: PackedAdj =
-      if (hotVids.isEmpty) PackedAdj(packed, None, hotVids)
-      else {
-        // cold = a filter over the one persisted packed relation — the
-        // exchange plan then references the cached packed plan exactly
-        // ONCE. (Materializing cold and hot as two separately-derived
-        // relations with overlapping lineage tripped DeduplicateRelations,
-        // whose exprId rewrite busted the cache's plan match and silently
-        // re-derived the packed adjacency EVERY superstep — measured as a
-        // flat ~6s/step, the round-2 skew-bench regression.) Only the hub
-        // rows (<= p/2 sources) re-explode into salted chunks, and the hot
-        // relation materializes as a LogicalRDD (eager ONE-ARG
-        // localCheckpoint: lineage-free, partitioning preserved).
-        val cold = packed.filter(!col("src").isin(hotVids.toIndexedSeq: _*))
-        val hot = packed.filter(col("src").isin(hotVids.toIndexedSeq: _*))
-          .select(col("src"), explode(col("_adj")).as("_edge"))
-          .withColumn("_salt", pmod(hash(col("_edge.dst")), lit(p)))
-          .groupBy(col("src"), col("_salt")).agg(collect_list(col("_edge")).as("_adj"))
-          .repartition(p, col("src"), col("_salt")).localCheckpoint(true)
+      if (hotVids.isEmpty) {
+        val packed = ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
+          .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        packed.count() // materialize, then drop staged input
+        PackedAdj(packed, None, hotVids)
+      } else {
+        val hotSeq = hotVids.toIndexedSeq
+        val cold = ec.filter(!col("src").isin(hotSeq: _*))
+          .groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
+          .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        cold.count()
+        val hot = Pregel.saltedHot(ec, hotSeq, p, edgeStruct).localCheckpoint(true)
         PackedAdj(cold, Some(hot), hotVids)
       }
     ec.unpersist(blocking = false)
-    val maxVid = vertices.agg(max(col("vid"))).head().getLong(0)
-    val blkLen = math.max(1L, (maxVid + cfg.numBlocks) / cfg.numBlocks)
     val cost = new CostModel(cfg.mode, cfg.numExecutors, cfg.broadcastCapBytes)
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, program.name))
     val ckptPolicy = new CheckpointPolicy
@@ -255,8 +285,13 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
 
     var jobAgg = resumed.map(_._3).getOrElse(0.0)
     val metrics = scala.collection.mutable.ArrayBuffer[SuperstepMetrics]()
+    // deltaFilter programs must not fuse: a delta superstep applies
+    // update() exactly once, so fuse>1 would skip supersteps (today all
+    // deltaFilter programs are MsgDepend and land at 1 anyway — this makes
+    // the invariant structural rather than accidental).
     val fuse =
-      if (program.usesPriorState || program.updateRule != UpdateAll) 1
+      if (program.usesPriorState || program.updateRule != UpdateAll ||
+        program.deltaFilter.isDefined) 1
       else math.max(1, cfg.fusedSupersteps)
     // per-block SuperStepReport (VerBlockBeta analog): row count, respond
     // count, est. messages (sum of respond out-degrees), task aggregate,
@@ -285,8 +320,11 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       // Delta superstep (C2 skip): only when the program declares the
       // contract, the upcoming activity bound is a small fraction of |V|,
       // and the overlay budget holds (else this step runs full = compacts).
+      // fuse == 1 is structural here (deltaFilter programs force fuse=1
+      // above): a delta step applies update() exactly once, so running it
+      // under fuse>1 would silently skip supersteps — guard it anyway.
       val deltaStep = cfg.deltaThreshold > 0 && program.deltaFilter.isDefined &&
-        inbox.isDefined && t > startStep && !willCkptBoundary &&
+        fuse == 1 && inbox.isDefined && t > startStep && !willCkptBoundary &&
         lastEstMsgs + lastActive <= cfg.deltaThreshold * nApprox &&
         overlays.length < cfg.maxOverlays &&
         deltaRowsAcc <= 0.25 * nApprox
@@ -382,7 +420,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       lastActive = activeCount
       t = tEnd + 1
     }
-    packed.unpersist(blocking = false)
+    adj.cold.unpersist(blocking = false)
     deg.unpersist(blocking = false)
     staticBase.foreach(_.unpersist(blocking = false))
     (view(), metrics.toSeq)
@@ -443,6 +481,26 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       .select(col("_graft_dst").as("vid"), col("msg"))
   }
 }
+
+private[pregel] object Pregel {
+  /** The salted hot adjacency, built DIRECTLY from flat edges: hub sources'
+   * edges grouped by (src, pmod(hash(dst), p)) so each hub's adjacency is
+   * assembled as p independent ~deg/p chunks by p parallel tasks. No
+   * intermediate packs the full adjacency into one row, and no single-task
+   * explode of a packed row exists anywhere in the plan (the round-3 build
+   * did both — fatal at 100x hub degrees). Extracted for SaltSpec's
+   * plan-shape assertion. */
+  private[pregel] def saltedHot(flatEdges: DataFrame, hotVids: Seq[Long],
+                                p: Int, edgeStruct: Column): DataFrame =
+    flatEdges.filter(col("src").isin(hotVids: _*))
+      .withColumn("_salt", pmod(hash(col("dst")), lit(p)))
+      .groupBy(col("src"), col("_salt")).agg(collect_list(edgeStruct).as("_adj"))
+      .repartition(p, col("src"), col("_salt"))
+}
+
+/** Per-source-block edge-bound stats (reference L5, EdgeHashBucMgr.java:
+ * 25-51): edge count + dst id bounds for one source block. */
+private[pregel] final case class BlockEdgeStats(edges: Long, dstMin: Long, dstMax: Long)
 
 /** Packed CSR adjacency: `cold` = (src, _adj) hash-partitioned on src;
  * `hot` = the hub sources' edges as (src, _salt, _adj) chunks spread over
