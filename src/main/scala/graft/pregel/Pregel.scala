@@ -80,7 +80,12 @@ case class PregelConfig(
  *            .getMsg:857-944), with source-block pruning mirroring the
  *            master's pull-route matrix (JobInformation
  *            .getActualRouteTable:318-350) as a block-membership filter
- *            pushed into the edge scan.
+ *            pushed into the edge scan;
+ *   PULL_SHUFFLE -> the same gather for respond sets above the broadcast
+ *            cap: the respond relation shuffles once on src into the
+ *            dst-keyed in-edge FRAGMENT relation (one row per (dst,
+ *            source block) — the reference's VBlock x EBlock grid),
+ *            scanned only for responding source blocks.
  *
  * Scale notes: out-edges are packed once into a per-source CSR-style
  * adjacency relation (src -> array of (dst[, weight])), hash-partitioned
@@ -188,7 +193,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // localCheckpoint — lineage-free, partitioning preserved), so the only
     // lineage-bearing adjacency in any superstep plan is the persisted cold
     // relation, referenced once per superstep.
-    val adj: PackedAdj =
+    val adjBase: PackedAdj =
       if (hotVids.isEmpty) {
         val packed = ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
           .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -204,6 +209,26 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         PackedAdj(cold, Some(hot), hotVids)
       }
     ec.unpersist(blocking = false)
+    // In-edge fragment relation for the shuffle-gather pull path (built
+    // lazily on the first PullShuffle superstep — most runs never pay for
+    // it): dst-keyed fragments indexed by SOURCE block, rebuilt from the
+    // already-packed out-adjacency and materialized as a LogicalRDD so no
+    // overlapping lineage with the cold relation ever enters a superstep
+    // plan (DeduplicateRelations cache-bust, rounds 2-3).
+    var inAdjCache: Option[DataFrame] = None
+    val adj = adjBase.copy(inAdjF = () => inAdjCache.getOrElse {
+      val flatCold = adjBase.cold.select(col("src"), explode(col("_adj")).as("_e"))
+      val flat = adjBase.hot match {
+        case Some(h) => flatCold.unionByName(h.select(col("src"), explode(col("_adj")).as("_e")))
+        case None => flatCold
+      }
+      val cols = Seq(col("src"), col("_e.dst").as("dst")) ++
+        (if (hasWeight) Seq(col("_e.weight").as("weight")) else Nil)
+      val ia = Pregel.packInFragments(flat.select(cols: _*), blkLen, p, hasWeight)
+        .localCheckpoint(true)
+      inAdjCache = Some(ia)
+      ia
+    })
     val cost = new CostModel(cfg.mode, cfg.numExecutors, cfg.broadcastCapBytes)
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, program.name))
     val ckptPolicy = new CheckpointPolicy
@@ -402,8 +427,13 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       val respondBlocks = respondBlocksOf(rep)
 
       val halt = respondCount == 0L || program.halted(newJobAgg, tEnd) || tEnd == program.maxSupersteps
+      // L5 fragment volume for the shuffle-gather pull estimate: exact edge
+      // count over responding source blocks, from the driver-held stats.
+      val fragEdges = respondBlocks.iterator
+        .map(b => blkStats.get(b).map(_.edges).getOrElse(0L)).sum
       style = cost.choose(tEnd, respondCount, estMsgs, cfg.stateRowBytes,
-        combineRatio = math.min(1.0, (maxVid + 1).toDouble / math.max(1L, estMsgs)))
+        combineRatio = math.min(1.0, (maxVid + 1).toDouble / math.max(1L, estMsgs)),
+        respondBlockEdges = fragEdges)
 
       val wallMs = (System.nanoTime() - t0) / 1000000
       ckptPolicy.recordStep(wallMs)
@@ -473,19 +503,44 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val s2 = senders.withColumn("_graft_src", col("vid"))
     val cond = col("_graft_src") === col("src")
     val cold = prune(adj.cold)
-    val joined = style match {
+    val hasWeight = adj.cold.schema("_adj").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("weight")
+    // CSR gather: unpack the matched source's out-edge array (one explode
+    // per sender row, inside the same codegen stage as the join).
+    def unpack(joined: DataFrame): DataFrame = {
+      val perEdge0 = joined.withColumn("_edge", explode(col("_adj")))
+        .withColumn("dst", col("_edge.dst"))
+      if (hasWeight) perEdge0.withColumn("weight", col("_edge.weight")) else perEdge0
+    }
+    val perEdge = style match {
       case Pull =>
         // b-PULL: gather on the edge side; the hot relation (same schema
         // minus the salt key) unions in and gathers from the same
         // broadcast — edge rows never move either way.
         val all = adj.hot.map(h => cold.unionByName(prune(h).drop("_salt"))).getOrElse(cold)
-        all.join(broadcast(s2), cond)
+        unpack(all.join(broadcast(s2), cond))
+      case PullShuffle =>
+        // Non-broadcast b-PULL (GraphDataServerDisk.getMsg:857-944): scan
+        // the dst-keyed in-edge fragments of RESPONDING source blocks
+        // (dependency-matrix prune), explode to flat in-edges, and join
+        // the respond relation — the senders shuffle once on src, the
+        // fragment scan stays local, and no broadcast cap applies.
+        val ia0 = adj.inAdjF()
+        val ia =
+          if (respondBlocks.nonEmpty && respondBlocks.length < cfg.numBlocks * cfg.blockPruneThreshold)
+            ia0.filter(col("_sblk").isin(respondBlocks: _*))
+          else ia0
+        val fcols = Seq(col("dst"), col("_ie.src").as("src")) ++
+          (if (hasWeight) Seq(col("_ie.weight").as("weight")) else Nil)
+        val flat = ia.select(col("dst"), explode(col("_iadj")).as("_ie")).select(fcols: _*)
+        flat.join(s2.hint("shuffle_hash"), cond)
       case Push =>
         // PUSH scatter over the cold graph: plain (src) key, senders keep
         // their hash(vid) partitioning — exchange-free.
         val coldJ = s2.join(cold.hint("shuffle_hash"), cond)
         adj.hot match {
-          case None => coldJ
+          case None => unpack(coldJ)
           case Some(h) =>
             // Hot hubs: the ≤ p/2 hot senders (driver-known vids, literal
             // isin) BROADCAST against the salted hot chunks, which stay
@@ -493,17 +548,9 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
             // runs in p tasks and no sender row is ever re-shuffled.
             val hotSenders = s2.filter(col("vid").isin(adj.hotVids.toIndexedSeq: _*))
             val hotJ = prune(h).drop("_salt").join(broadcast(hotSenders), cond)
-            coldJ.unionByName(hotJ)
+            unpack(coldJ.unionByName(hotJ))
         }
     }
-    // CSR gather: unpack the matched source's out-edge array (one explode
-    // per sender row, inside the same codegen stage as the join).
-    val hasWeight = adj.cold.schema("_adj").dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains("weight")
-    val perEdge0 = joined.withColumn("_edge", explode(col("_adj")))
-      .withColumn("dst", col("_edge.dst"))
-    val perEdge = if (hasWeight) perEdge0.withColumn("weight", col("_edge.weight")) else perEdge0
     perEdge.select(col("dst").as("_graft_dst"), program.msgExpr.as("msg"))
       .select(col("_graft_dst").as("vid"), col("msg"))
   }
@@ -523,6 +570,24 @@ private[pregel] object Pregel {
       .withColumn("_salt", pmod(hash(col("dst")), lit(p)))
       .groupBy(col("src"), col("_salt")).agg(collect_list(edgeStruct).as("_adj"))
       .repartition(p, col("src"), col("_salt"))
+
+  /** The in-edge fragment relation for shuffle-gather PULL: one row per
+   * (dst, source block) holding that block's in-edges to dst — the Spark
+   * analog of the reference's (VBlock x EBlock) fragment grid
+   * (graph/EdgeFragmentBuc.java, GraphDataServerDisk.getMsgFromOneVBlock:
+   * 959-1041). Keyed and partitioned by dst; `_sblk` lets the gather scan
+   * prune to responding SOURCE blocks (the dependency matrix), and the
+   * per-(dst, block) grouping caps any fragment row at the block's vertex
+   * count, so high-IN-degree hubs split across blocks structurally. */
+  private[pregel] def packInFragments(flatEdges: DataFrame, blkLen: Long,
+                                      p: Int, hasWeight: Boolean): DataFrame = {
+    val srcStruct =
+      if (hasWeight) struct(col("src"), col("weight")) else struct(col("src"))
+    flatEdges
+      .withColumn("_sblk", expr(s"src div $blkLen"))
+      .groupBy(col("dst"), col("_sblk")).agg(collect_list(srcStruct).as("_iadj"))
+      .repartition(p, col("dst"))
+  }
 }
 
 /** Per-source-block edge-bound stats (reference L5, EdgeHashBucMgr.java:
@@ -531,6 +596,10 @@ private[pregel] final case class BlockEdgeStats(edges: Long, dstMin: Long, dstMa
 
 /** Packed CSR adjacency: `cold` = (src, _adj) hash-partitioned on src;
  * `hot` = the hub sources' edges as (src, _salt, _adj) chunks spread over
- * all partitions by hash(dst) salt (present only when hubs exist). */
+ * all partitions by hash(dst) salt (present only when hubs exist);
+ * `inAdjF` = memoized provider of the dst-keyed in-edge fragment relation
+ * for shuffle-gather PULL (built on first use). */
 private[pregel] final case class PackedAdj(
-    cold: DataFrame, hot: Option[DataFrame], hotVids: Array[Long])
+    cold: DataFrame, hot: Option[DataFrame], hotVids: Array[Long],
+    inAdjF: () => DataFrame =
+      () => throw new IllegalStateException("in-adjacency fragments not built"))
