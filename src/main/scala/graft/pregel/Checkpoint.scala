@@ -76,7 +76,8 @@ final class Checkpoint(spark: SparkSession, dir: String, algo: String,
     val hist = history.map(m =>
       s"""{"superstep":${m.superstep},"style":"${m.style}","respond":${m.respondCount},""" +
         s""""estMsgs":${m.estMsgs},"jobAgg":${m.jobAgg},"q":${m.q},""" +
-        s""""activeBlocks":${m.activeBlocks},"wallMs":${m.wallMs}}""")
+        s""""activeBlocks":${m.activeBlocks},"numBlocks":${m.numBlocks},""" +
+        s""""wallMs":${m.wallMs},"checkpointed":${m.checkpointed},"delta":${m.delta}}""")
     val json =
       s"""{"algo":"$algo","superstep":$t,"jobAgg":$jobAgg,
          |"partitions":[${parts.mkString(",")}],
@@ -86,8 +87,11 @@ final class Checkpoint(spark: SparkSession, dir: String, algo: String,
     store.read(s"$sd/state")
   }
 
-  /** Most recent complete snapshot: (superstep, state, jobAgg). */
-  def latest(): Option[(Int, DataFrame, Double)] = {
+  /** Most recent complete snapshot: (superstep, state, jobAgg, metrics
+   * lineage up to the snapshot) — the history rides along so a resumed
+   * run's next archive carries a CONTINUOUS convergence-metrics lineage
+   * from superstep 1, matching the reference's recovered-job reports. */
+  def latest(): Option[(Int, DataFrame, Double, Seq[SuperstepMetrics])] = {
     val base = Paths.get(s"$dir/$algo")
     if (!Files.isDirectory(base)) return None
     val steps = Files.list(base).iterator().asScala
@@ -98,9 +102,20 @@ final class Checkpoint(spark: SparkSession, dir: String, algo: String,
       val meta = Files.readString(Paths.get(s"${stepDir(t)}/meta.json"))
       val jobAgg = """"jobAgg":([-0-9.eE]+)""".r.findFirstMatchIn(meta)
         .map(_.group(1).toDouble).getOrElse(0.0)
-      (t, store.read(s"${stepDir(t)}/state"), jobAgg)
+      (t, store.read(s"${stepDir(t)}/state"), jobAgg, parseHistory(meta))
     }
   }
+
+  private val histRe =
+    ("""\{"superstep":(\d+),"style":"([a-z_]+)","respond":(\d+),"estMsgs":(\d+),""" +
+      """"jobAgg":([-0-9.eE]+),"q":([-0-9.eE]+),"activeBlocks":(\d+),"numBlocks":(\d+),""" +
+      """"wallMs":(\d+),"checkpointed":(true|false),"delta":(true|false)\}""").r
+
+  private def parseHistory(meta: String): Seq[SuperstepMetrics] =
+    histRe.findAllMatchIn(meta).map(m => SuperstepMetrics(
+      m.group(1).toInt, m.group(2), m.group(3).toLong, m.group(4).toLong,
+      m.group(5).toDouble, m.group(6).toDouble, m.group(7).toInt, m.group(8).toInt,
+      m.group(9).toLong, m.group(10).toBoolean, m.group(11).toBoolean)).toSeq
 
   private def complete(p: Path): Boolean =
     store.complete(p.resolve("state").toString) && Files.exists(p.resolve("meta.json"))

@@ -38,6 +38,12 @@ case class PregelConfig(
      * false = archive at every boundary. Halting always snapshots. */
     dynamicCheckpoint: Boolean = true,
     resume: Boolean = false,
+    /** Test hook mirroring the reference's failure injection
+     * (BSPJob.setFailedIteration:584-595, used BSPTask.java:828-833):
+     * throw at the START of this superstep, before its barrier — the
+     * recovery spec kills a run between dynamic-policy checkpoints with
+     * delta overlays in flight and resumes it. */
+    failAtSuperstep: Option[Int] = None,
     blockPruneThreshold: Double = 0.5,
     /** Fuse k supersteps into one Spark action (barrier every k) for
      * UpdateAll programs that don't read prior state (PageRank): k
@@ -301,6 +307,10 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     }
 
     var startStep = resumed.map(_._1 + 1).getOrElse(1)
+    // metrics lineage up to the snapshot: prefixed to every subsequent
+    // archive (continuous history from superstep 1 across failures);
+    // run() itself returns only THIS run's supersteps.
+    val priorMetrics: Seq[SuperstepMetrics] = resumed.map(_._4).getOrElse(Seq.empty)
     var inbox: Option[DataFrame] = None
     if (resumed.isDefined) {
       // regenerate the inbox the checkpointed step had already sent
@@ -354,7 +364,9 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     var style: Style = Pull
     var lastEstMsgs = Long.MaxValue // activity bound for the NEXT update
     var lastActive = 0L
-    while (!done && t <= program.maxSupersteps) {
+    try while (!done && t <= program.maxSupersteps) {
+      if (cfg.failAtSuperstep.contains(t))
+        throw new RuntimeException(s"injected failure at superstep $t (failAtSuperstep test hook)")
       val t0 = System.nanoTime()
       // fuse supersteps t..tEnd into one lazy plan (barrier at tEnd)
       val tEnd = math.min(t + fuse - 1, program.maxSupersteps)
@@ -450,7 +462,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         senders = newDelta.filter(col("respond"))
         if (doCkpt) { // halt-time snapshot: persist the merged view
           val c0 = System.nanoTime()
-          val saved = ckpt.get.save(view(), tEnd, newJobAgg, metrics.toSeq)
+          val saved = ckpt.get.save(view(), tEnd, newJobAgg, priorMetrics ++ metrics)
           ckptPolicy.recordCheckpoint((System.nanoTime() - c0) / 1000000)
           retireState()
           base = saved
@@ -459,7 +471,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         var cur = newState
         if (doCkpt) {
           val c0 = System.nanoTime()
-          cur = ckpt.get.save(newState, tEnd, newJobAgg, metrics.toSeq)
+          cur = ckpt.get.save(newState, tEnd, newJobAgg, priorMetrics ++ metrics)
           ckptPolicy.recordCheckpoint((System.nanoTime() - c0) / 1000000)
         }
         senders = cur.filter(col("respond"))
@@ -476,6 +488,15 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       lastEstMsgs = estMsgs
       lastActive = activeCount
       t = tEnd + 1
+    } catch {
+      case e: Throwable =>
+        // a crashed run (incl. the injected-failure hook) must not leak
+        // cached relations into the surviving session
+        adj.cold.unpersist(blocking = false)
+        deg.unpersist(blocking = false)
+        staticBase.foreach(_.unpersist(blocking = false))
+        retireState()
+        throw e
     }
     adj.cold.unpersist(blocking = false)
     deg.unpersist(blocking = false)

@@ -33,6 +33,53 @@ class KernelSpec extends SparkTestBase {
     assert(resumed == full, "resumed run must equal uninterrupted run")
   }
 
+  test("injected mid-run failure resumes from the last dynamic checkpoint, overlays in flight") {
+    val dir = Files.createTempDirectory("graft-fail").toString
+    // path graph: CC converges over ~29 supersteps with a 1-2 vertex
+    // frontier, so the steps between checkpoint boundaries run in DELTA
+    // mode (overlays over the base state) — the failure lands mid-overlay
+    val sym = (0L until 29L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val verts = vertDF(30)
+
+    // uninterrupted truth + proof that delta overlays are in flight at the
+    // failure point (deterministic: same graph, same config)
+    val probeCfg = PregelConfig(numPartitions = 4, checkpointDir = Some(dir + "-probe"),
+      checkpointEvery = 3)
+    val (fullState, probeMetrics) =
+      new Pregel(spark, probeCfg).run(new ConnectedComponents(40), verts, edgeDF(sym))
+    val full = fullState.select("vid", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probeMetrics.exists(m => m.superstep == 28 && m.delta),
+      s"superstep 28 must be a delta overlay (in flight at the step-29 crash): " +
+        probeMetrics.map(m => s"${m.superstep}${if (m.delta) "d" else ""}").mkString(","))
+
+    // phase 1: crash at superstep 29 (reference BSPJob.setFailedIteration)
+    val cfg = PregelConfig(numPartitions = 4, checkpointDir = Some(dir),
+      checkpointEvery = 3, failAtSuperstep = Some(29))
+    val ex = intercept[RuntimeException] {
+      new Pregel(spark, cfg).run(new ConnectedComponents(40), verts, edgeDF(sym))
+    }
+    assert(ex.getMessage.contains("superstep 29"))
+
+    // phase 2: resume and run to convergence
+    val (state2, m2) = new Pregel(spark, cfg.copy(resume = true, failAtSuperstep = None))
+      .run(new ConnectedComponents(40), verts, edgeDF(sym))
+    assert(m2.head.superstep > 1 && m2.head.superstep <= 29,
+      s"must resume from the snapshot, not restart: first=${m2.head.superstep}")
+    val resumed = state2.select("vid", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full, "resumed run must equal the uninterrupted run")
+
+    // the final archive's metrics lineage is continuous from superstep 1
+    // (pre-failure history rides the snapshot metadata across the resume)
+    val meta = new Checkpoint(spark, dir, "cc").latest()
+    assert(meta.isDefined)
+    val lineage = meta.get._4.map(_.superstep)
+    assert(lineage.nonEmpty && lineage.head == 1 &&
+      lineage == (1 to lineage.max).toSeq,
+      s"metrics lineage must be continuous from superstep 1, got $lineage")
+  }
+
   test("checkpoint metadata carries per-partition lineage and metrics") {
     val dir = Files.createTempDirectory("graft-ckpt2").toString
     val verts = vertDF(10)
