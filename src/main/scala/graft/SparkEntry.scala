@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.{LinkGraph, Transcripts}
-import graft.pregel.{Pregel, PregelConfig, Hybrid}
+import graft.pregel.{Pregel, PregelConfig, Hybrid, ForcePullShuffle}
 import graft.algos._
 import graft.pipeline.{Dedup, Similarity, TextAnalysis, Multimodal}
 
@@ -104,6 +104,17 @@ object SparkEntry {
       val g = graphOf(s, dir)
       ConnectedComponents.labels(pregel(s), g.verts.select("vid"), g.undirected, CC_ITERS).orderBy("vid")
     }),
+    // same CC, forced through the NON-BROADCAST shuffle-gather pull path
+    // (respond relation shuffled once into the dst-keyed in-edge fragment
+    // relation) — gates the above-cap b-PULL plan end-to-end against the
+    // same oracle, not just its specs
+    "cc_gather" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      ConnectedComponents.labels(
+        new Pregel(s, PregelConfig(numPartitions = p, mode = ForcePullShuffle)),
+        g.verts.select("vid"), g.undirected, CC_ITERS).orderBy("vid")
+    }),
     "lpa" -> ((s, dir) => {
       val g = graphOf(s, dir)
       LabelPropagation.labels(pregel(s), g.verts.select("vid"), g.undirected, LPA_ITERS).orderBy("vid")
@@ -199,6 +210,7 @@ object SparkEntry {
     "degrees" -> Oracles.degrees,
     "pagerank" -> Oracles.pagerank(PR_ITERS),
     "cc" -> Oracles.cc(CC_ITERS),
+    "cc_gather" -> Oracles.cc(CC_ITERS), // same semantics, shuffle-gather plan
     "lpa" -> Oracles.lpa(LPA_ITERS),
     "sssp" -> Oracles.sssp(SSSP_SOURCE, SSSP_ITERS),
     "sssp_weighted" -> Oracles.ssspWeighted(WEIGHTED_FIXTURE, SSSP_SOURCE, SSSP_ITERS),

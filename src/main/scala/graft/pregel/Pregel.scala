@@ -118,8 +118,17 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // (symmetrize/self-loops over the transcript graph) that would
     // otherwise execute twice. Unpersisted right after the packed relation
     // materializes below.
+    val setupT0 = System.nanoTime()
+    def setupMark(tag: String): Unit = if (sys.env.contains("GRAFT_PHASES"))
+      println(f"[setup] $tag at ${(System.nanoTime() - setupT0) / 1e9}%.2fs")
     val ec = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = ec.groupBy(col("src").as("vid")).agg(count(lit(1)).as("outdeg"))
+    // per-source out-degree + dst bounds in ONE aggregation: the degree
+    // relation, the global degree stats, AND the L5 per-block stats all
+    // derive from this single |E| pass (block aggregates roll up from the
+    // per-source rows — no second scan of the edge relation)
+    val deg = ec.groupBy(col("src").as("vid")).agg(
+        count(lit(1)).as("outdeg"),
+        min(col("dst")).as("_dmin"), max(col("dst")).as("_dmax"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Empty-vertex guard: fail soft (empty result, no supersteps) instead of
     // an NPE out of head() below — a user's first empty partition should not
@@ -127,15 +136,31 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val maxVidRow = vertices.agg(max(col("vid"))).head()
     if (maxVidRow.isNullAt(0)) {
       val emptyState = program.initState(
-        vertices.join(deg, Seq("vid"), "left_outer")
+        vertices.join(deg.select("vid", "outdeg"), Seq("vid"), "left_outer")
           .withColumn("outdeg", coalesce(col("outdeg"), lit(0L))))
       ec.unpersist(blocking = false); deg.unpersist(blocking = false)
       return (emptyState, Seq.empty)
     }
+    setupMark("vertices-maxvid")
     val maxVid = maxVidRow.getLong(0)
     val blkLen = math.max(1L, (maxVid + cfg.numBlocks) / cfg.numBlocks)
-    val degStats = deg.agg(sum(col("outdeg")), max(col("outdeg"))).head()
-    val edgeCount = if (degStats.isNullAt(0)) 0L else degStats.getLong(0)
+    // L5 edge-bound stats (reference EdgeHashBucMgr.java:25-51): per-source-
+    // block edge count + dst id bounds, rolled up from the per-source degree
+    // relation and held on the driver (<= numBlocks rows). Feeds the cost
+    // model's pull-fragment volume (sum of edge counts over responding
+    // blocks) — the reference's dependency-matrix sizing. The same collect
+    // yields the global edge count and max out-degree (the hub cut), so
+    // setup pays ONE stats job, not three.
+    val blkRows = deg.groupBy(expr(s"vid div $blkLen").as("blk"))
+      .agg(sum(col("outdeg")).as("cnt"), max(col("outdeg")).as("maxdeg"),
+        min(col("_dmin")).as("dmin"), max(col("_dmax")).as("dmax"))
+      .collect()
+    val blkStats: Map[Long, BlockEdgeStats] = blkRows
+      .map(r => r.getLong(0) -> BlockEdgeStats(r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    setupMark("deg-blk-stats")
+    val edgeCount = blkRows.iterator.map(_.getLong(1)).sum
+    val maxOutdeg = if (blkRows.isEmpty) 0L else blkRows.iterator.map(_.getLong(2)).max
     val hubCut = math.max(cfg.saltMinDeg, 2L * edgeCount / math.max(1, p))
     // At most p/2 sources can have out-degree >= 2*edges/p (they'd exceed
     // the edge total otherwise), so the hot list is always a handful of
@@ -145,7 +170,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // silently breaks the persisted edge cache's plan matching (measured:
     // the whole edge derivation re-ran every superstep).
     val hotVids: Array[Long] =
-      if (cfg.saltMinDeg > 0 && !degStats.isNullAt(1) && degStats.getLong(1) >= hubCut)
+      if (cfg.saltMinDeg > 0 && maxOutdeg >= hubCut)
         deg.filter(col("outdeg") >= hubCut)
           .orderBy(col("outdeg").desc).limit(cfg.maxHotSources)
           .collect().map(_.getLong(0))
@@ -171,16 +196,6 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val edgeStruct =
       if (hasWeight) struct(col("dst"), col("weight"))
       else struct(col("dst"))
-    // L5 edge-bound stats (reference EdgeHashBucMgr.java:25-51): per-source-
-    // block edge count + dst id bounds, computed once over the flat edges
-    // at packing time and held on the driver (<= numBlocks rows). Feeds the
-    // cost model's pull-fragment volume (sum of edge counts over responding
-    // blocks) — the reference's dependency-matrix sizing.
-    val blkStats: Map[Long, BlockEdgeStats] = ec
-      .groupBy(expr(s"src div $blkLen").as("blk"))
-      .agg(count(lit(1)).as("cnt"), min(col("dst")).as("dmin"), max(col("dst")).as("dmax"))
-      .collect().map(r => r.getLong(0) -> BlockEdgeStats(r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toMap
     // Pack the adjacency WITHOUT ever materializing a hub's full out-edge
     // list in one row or one task (round-3 plan packed ALL sources —
     // including hubs — with one collect_list row per source, then built the
@@ -204,6 +219,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         val packed = ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
           .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         packed.count() // materialize, then drop staged input
+        setupMark("pack-cold-all")
         PackedAdj(packed, None, hotVids)
       } else {
         val hotSeq = hotVids.toIndexedSeq
@@ -211,7 +227,9 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
           .groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
           .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         cold.count()
+        setupMark("pack-cold")
         val hot = Pregel.saltedHot(ec, hotSeq, p, edgeStruct).localCheckpoint(true)
+        setupMark("pack-hot")
         PackedAdj(cold, Some(hot), hotVids)
       }
     ec.unpersist(blocking = false)
@@ -239,7 +257,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val ckpt = cfg.checkpointDir.map(d => new Checkpoint(spark, d, program.name))
     val ckptPolicy = new CheckpointPolicy
 
-    val vertsWithDeg = vertices.join(deg, Seq("vid"), "left_outer")
+    val vertsWithDeg = vertices.join(deg.select("vid", "outdeg"), Seq("vid"), "left_outer")
       .withColumn("outdeg", coalesce(col("outdeg"), lit(0L)))
 
     // Programs whose update() is a pure function of (static vertex cols,
@@ -272,6 +290,7 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     var base = resumed.map(_._2).getOrElse(
         program.initState(vertsWithDeg).repartition(p, col("vid")))
       .localCheckpoint(false)
+    setupMark("init-state")
     var overlays: Vector[(DataFrame, Long)] = Vector.empty // (delta, rows)
     var deltaRowsAcc = 0L
     val nApprox = (maxVid + 1).toDouble // dense-id |V| proxy (upper-biased when sparse)
