@@ -179,6 +179,8 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Similarity.annTopK(emb(s, dir), ANN_K)),
     "ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(emb(s, dir), ANN_LSH_K, LSH_BITS, LSH_TABLES, LSH_MAXBKT)),
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.annIvf(emb(s, dir), ANN_LSH_K, IVF_CELLS, IVF_PROBES)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(docs(s, dir))),
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
@@ -194,7 +196,7 @@ object SparkEntry {
   val SH_BITS = 32; val SH_MAXHAM = 3
   val NG_N = 3; val NG_MINJ = 0.8; val NG_MAXDF = 0.5
   val EMB_MINCOS = 0.2; val LSH_TABLES = 4; val LSH_BITS = 8; val LSH_MAXBKT = 10000
-  val ANN_K = 5; val ANN_LSH_K = 3
+  val ANN_K = 5; val ANN_LSH_K = 3; val IVF_CELLS = 16; val IVF_PROBES = 2
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -229,6 +231,7 @@ object SparkEntry {
     "dedup_embedding" -> Similarity.cosinePairsSql(EMB_MINCOS, LSH_TABLES, LSH_BITS, LSH_MAXBKT),
     "ann_topk" -> Similarity.annTopKSql(ANN_K),
     "ann_lsh" -> Similarity.annLshSql(ANN_LSH_K, LSH_BITS, LSH_TABLES, LSH_MAXBKT),
+    "ann_ivf" -> Similarity.annIvfSql(ANN_LSH_K, IVF_CELLS, IVF_PROBES),
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_tokens" -> TextAnalysis.tokenCountsSql,

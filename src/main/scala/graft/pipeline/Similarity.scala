@@ -168,6 +168,114 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** IVF-Flat approximate top-k — the other classic ANN scale path next
+   * to LSH: a K-cell coarse quantizer partitions the corpus, each query
+   * probes its P nearest cells, and EXACT cosines rank only the vectors
+   * assigned there. Candidate volume ~ P/K of the corpus per query and
+   * the candidate join is an equi-join on the cell id — never all-pairs
+   * (PlanShapeSpec gates it).
+   *
+   * The codebook is driver-resident literals, exactly like a production
+   * IVF index (the coarse quantizer is tiny and rides the query plan);
+   * every per-vector step is then pure column algebra inside codegen.
+   * Training: deterministic seeding (the K lowest vec_ids) + ONE Lloyd
+   * refinement computed in-plan (posexplode -> per-(cell, dim) mean ->
+   * ordered re-pack), every mean rounded to 6dp so the SQL oracle's
+   * element-wise means match bit-for-bit. At 100 TB the quantizer trains
+   * offline on a sample; the partition/probe/verify plumbing is the part
+   * that scales. */
+  def annIvf(emb: DataFrame, k: Int, kCells: Int = 16, probes: Int = 2): DataFrame = {
+    // argmax cell over literal centroids: max(struct(cos, -cell)) makes a
+    // cosine tie resolve to the LOWEST cell id, mirroring the oracle's
+    // ORDER BY cos DESC, cell
+    def assignCol(cents: Seq[(Long, Seq[Double])]): Column =
+      (-array_max(array(cents.map { case (id, v) =>
+        struct(cosExpr(col("embedding"), typedlit(v)).as("cos"), lit(-id).as("negCell"))
+      }: _*)).getField("negCell")).cast("long")
+    val seeds: Seq[(Long, Seq[Double])] = emb.orderBy("vec_id").limit(kCells)
+      .select(col("embedding").cast("array<double>")).collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](0).toIndexedSeq) }.toIndexedSeq
+    val assign0 = emb.select(col("vec_id"), assignCol(seeds).as("cell"))
+    val cent: Seq[(Long, Seq[Double])] = assign0.join(emb, "vec_id")
+      .select(col("cell"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(round(avg(col("v")), 6).as("cv"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("cemb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).sortBy(_._1).toIndexedSeq
+    val assign = emb.select(col("vec_id").as("b"), assignCol(cent).as("cell"))
+    // P nearest cells per query: ascending sort of struct(-cos, cell)
+    val probeArr = array_sort(array(cent.map { case (id, v) =>
+      struct((-cosExpr(col("embedding"), typedlit(v))).as("negCos"), lit(id).as("cell"))
+    }: _*))
+    val probe = emb.select(col("vec_id").as("a"),
+        explode(slice(probeArr, 1, probes)).as("pc"))
+      .select(col("a"), col("pc.cell").as("cell"))
+    val cands = probe.join(assign, "cell")
+      .filter(col("a") =!= col("b")).select("a", "b").distinct()
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    cands
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
+      .select(col("a"), col("b"), cosExpr(col("ea"), col("eb")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a").as("vec_id"), col("rank"), col("b").as("neighbor"), col("cos"))
+      .orderBy("vec_id", "rank")
+  }
+
+  def annIvfSql(k: Int, kCells: Int = 16, probes: Int = 2): String =
+    s"""WITH seeds AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+       |         embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $kCells)
+       |),
+       |a0 AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, s.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "s.cemb")} DESC, s.cell) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1
+       |),
+       |flat AS MATERIALIZED (
+       |  SELECT a0.cell,
+       |         unnest(range(64)) AS pos,
+       |         unnest(CAST(e.embedding AS DOUBLE[])) AS v
+       |  FROM a0 JOIN embeddings e USING (vec_id)
+       |),
+       |cent AS MATERIALIZED (
+       |  SELECT cell, list(cv ORDER BY pos) AS cemb FROM (
+       |    SELECT cell, pos, round(avg(v), 6) AS cv FROM flat GROUP BY cell, pos) t
+       |  GROUP BY cell
+       |),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id AS b, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1
+       |),
+       |prb AS MATERIALIZED (
+       |  SELECT vec_id AS a, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSql("e.embedding", "c.cemb")} DESC, c.cell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) t WHERE rn <= $probes
+       |),
+       |cands AS MATERIALIZED (
+       |  SELECT DISTINCT p.a, g.b FROM prb p JOIN asg g ON p.cell = g.cell AND p.a <> g.b
+       |),
+       |scored AS MATERIALIZED (
+       |  SELECT c.a, c.b, ${cosSql("ea.embedding", "eb.embedding")} AS cos
+       |  FROM cands c JOIN embeddings ea ON ea.vec_id = c.a JOIN embeddings eb ON eb.vec_id = c.b
+       |),
+       |ranked AS (
+       |  SELECT a, b, cos, CAST(row_number() OVER (PARTITION BY a ORDER BY cos DESC, b) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT a AS vec_id, rank, b AS neighbor, cos FROM ranked WHERE rank <= $k
+       |ORDER BY vec_id, rank""".stripMargin
+
   def annLshSql(k: Int, bits: Int = 8, tables: Int = 4, maxBucket: Int = 10000): String =
     s"""WITH ${tableBucketsSql(tables, bits, maxBucket)},
        |cands AS MATERIALIZED (

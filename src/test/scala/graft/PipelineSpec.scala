@@ -137,6 +137,17 @@ class PipelineSpec extends SparkTestBase {
     info(f"isotropic-data recall: ${(exactIso intersect approxIso).size.toDouble / exactIso.size}%.3f")
   }
 
+  test("IVF ANN: recall >= 0.9 vs exact top-k on clustered embeddings, cell-local candidates") {
+    val pe = plantedEmb.cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "neighbor").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.annTopK(pe, 3))
+    val approx = pairs(Similarity.annIvf(pe, 3, 16, 2))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered IVF recall $recall < 0.9")
+    pe.unpersist(false)
+  }
+
   test("cosinePairs candidates: every reported pair shares >= 1 LSH table bucket") {
     val out = Similarity.cosinePairs(emb, 0.2, 4, 8).collect()
     assert(out.forall(r => r.getLong(0) < r.getLong(1) && r.getDouble(2) >= 0.2))
