@@ -391,7 +391,7 @@ object Bench {
       "pagerank", "cc", "lpa", "sssp", "mis", "mm", "sa", "triangles", "degrees", "edges",
       "sssp_weighted", "cc_adjtext", "mm_adjtext",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "text_simhash",
-      "dedup_embedding", "ann_lsh",
+      "dedup_embedding", "ann_lsh", "ann_ivf",
       "text_langid", "text_quality", "text_tokens", "text_fingerprint",
       "multimodal_meta", "multimodal_decode")
     val canaryBefore = canary(spark)

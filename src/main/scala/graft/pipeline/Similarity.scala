@@ -185,13 +185,18 @@ object Similarity {
    * offline on a sample; the partition/probe/verify plumbing is the part
    * that scales. */
   def annIvf(emb: DataFrame, k: Int, kCells: Int = 16, probes: Int = 2): DataFrame = {
-    // argmax cell over literal centroids: max(struct(cos, -cell)) makes a
-    // cosine tie resolve to the LOWEST cell id, mirroring the oracle's
-    // ORDER BY cos DESC, cell
+    // Codebook as ONE 2D literal + zip_with traversal: a single fold
+    // expression loops over the K centroids (16 inlined per-centroid
+    // cosine folds made codegen quadratic-sized and dominated the wall).
+    // argmax cell via max(struct(cos, -cell)): a cosine tie resolves to
+    // the LOWEST cell id, mirroring the oracle's ORDER BY cos DESC, cell.
+    def cosCells(cents: Seq[(Long, Seq[Double])]): Column =
+      zip_with(typedlit(cents.map(_._2)), typedlit(cents.map(_._1)),
+        (cv, id) => struct(cosExpr(col("embedding"), cv).as("cos"), id.as("cell")))
     def assignCol(cents: Seq[(Long, Seq[Double])]): Column =
-      (-array_max(array(cents.map { case (id, v) =>
-        struct(cosExpr(col("embedding"), typedlit(v)).as("cos"), lit(-id).as("negCell"))
-      }: _*)).getField("negCell")).cast("long")
+      (-array_max(transform(cosCells(cents),
+        x => struct(x.getField("cos").as("cos"), (-x.getField("cell")).as("negCell"))))
+        .getField("negCell")).cast("long")
     val seeds: Seq[(Long, Seq[Double])] = emb.orderBy("vec_id").limit(kCells)
       .select(col("embedding").cast("array<double>")).collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](0).toIndexedSeq) }.toIndexedSeq
@@ -205,9 +210,8 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq)).sortBy(_._1).toIndexedSeq
     val assign = emb.select(col("vec_id").as("b"), assignCol(cent).as("cell"))
     // P nearest cells per query: ascending sort of struct(-cos, cell)
-    val probeArr = array_sort(array(cent.map { case (id, v) =>
-      struct((-cosExpr(col("embedding"), typedlit(v))).as("negCos"), lit(id).as("cell"))
-    }: _*))
+    val probeArr = array_sort(transform(cosCells(cent),
+      x => struct((-x.getField("cos")).as("negCos"), x.getField("cell").as("cell"))))
     val probe = emb.select(col("vec_id").as("a"),
         explode(slice(probeArr, 1, probes)).as("pc"))
       .select(col("a"), col("pc.cell").as("cell"))
