@@ -32,24 +32,30 @@ object Transcripts {
   def fromEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    events
-      .withColumn("turn_idx", (row_number().over(w) - lit(1)).cast("int"))
-      .select(
-        // width 20 > max BIGINT digits (19): lpad can never truncate, and
-        // zero-padding keeps lexicographic conv_id order == numeric user_id
-        // order (lpad TRUNCATES beyond its width — a 6-wide pad silently
-        // collided user_ids >= 10^6 into one conversation).
-        concat(lit("conv-"), lpad(col("user_id").cast("string"), 20, "0")).as("conv_id"),
-        col("turn_idx"),
-        when(col("event_type").isin("click", "view"), lit("user"))
-          .when(col("event_type") === "error", lit("tool"))
-          .otherwise(lit("assistant")).as("role"),
-        concat(col("event_type"), lit(" "), col("props")).as("text"),
-        when(col("event_type").isin("error", "purchase", "signup"), col("event_type"))
-          .otherwise(lit(null).cast("string")).as("tool"),
-        col("ts")
-      )
+    turnShape(events.withColumn("turn_idx", (row_number().over(w) - lit(1)).cast("int")))
   }
+
+  /** The event->turn projection, shared verbatim between the batch
+   * derivation above and the streaming ingest
+   * ([[graft.streaming.EventStream]]) so both produce identical transcript
+   * rows from identical (event, turn_idx) inputs. Input needs columns
+   * (user_id, turn_idx, event_type, props, ts). */
+  def turnShape(withTurnIdx: DataFrame): DataFrame =
+    withTurnIdx.select(
+      // width 20 > max BIGINT digits (19): lpad can never truncate, and
+      // zero-padding keeps lexicographic conv_id order == numeric user_id
+      // order (lpad TRUNCATES beyond its width — a 6-wide pad silently
+      // collided user_ids >= 10^6 into one conversation).
+      concat(lit("conv-"), lpad(col("user_id").cast("string"), 20, "0")).as("conv_id"),
+      col("turn_idx"),
+      when(col("event_type").isin("click", "view"), lit("user"))
+        .when(col("event_type") === "error", lit("tool"))
+        .otherwise(lit("assistant")).as("role"),
+      concat(col("event_type"), lit(" "), col("props")).as("text"),
+      when(col("event_type").isin("error", "purchase", "signup"), col("event_type"))
+        .otherwise(lit(null).cast("string")).as("tool"),
+      col("ts")
+    )
 
   /** Equivalent ANSI SQL (DuckDB-compatible) for [[fromEvents]], used as a
    * CTE prefix by the oracle queries. `ts` is surfaced as epoch
