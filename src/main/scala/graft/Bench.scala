@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import graft.graph.{LinkGraph, Transcripts}
-import graft.pregel.{Pregel, PregelConfig, Hybrid}
+import graft.pregel.{Pregel, PregelConfig, Hybrid, SuperstepMetrics}
 import graft.algos.{PageRank, ConnectedComponents}
 
 /**
@@ -18,19 +18,43 @@ import graft.algos.{PageRank, ConnectedComponents}
  *     the N vs 4N stand-in with the highest raw-CPU ceiling on this VM
  *     and the least single-box memory-bus distortion (see the core-pair
  *     note in main); BASELINE.json north_rule requires throughput
- *     scaling efficiency >= 0.8.
+ *     scaling efficiency >= 0.8. Includes the superstep style histogram
+ *     (push / pull / pull_shuffle) of a hybrid CC run on the same graph —
+ *     the hybrid switch is the engine's signature optimization and its
+ *     at-scale trace belongs in the arbiter evidence, not only in specs.
  *   + two calibrations: a plain shuffle+agg (the host's generic ceiling)
  *     and a VANILLA-SPARK iterative PageRank (stock DataFrame ops, no
  *     graft kernel) — engine scaling / vanilla scaling isolates what the
  *     superstep machinery costs on this host.
- *   + skew: CC over a hub-heavy graph with hub salting on vs off,
+ *   + skew: LPA over a hub-heavy graph with hub salting on vs off,
  *     with per-task duration max/median from a SparkListener.
+ *
+ * Budget discipline (round 5, after the round-4 driver run was timeout-
+ * killed mid-scaling and — because the JSON was emitted once at the very
+ * end — EVERY arbiter number of the round was lost, BENCH_r04 rc=124):
+ *  a. INCREMENTAL EMISSION: after every phase the full JSON (with
+ *     `"pending"` placeholders for phases not yet run) is rewritten to
+ *     target/bench_last.json, and a JVM shutdown hook prints the latest
+ *     snapshot to stdout if the normal end-of-run print never happened —
+ *     a kill now degrades to "fewer phases", never to "nothing".
+ *  b. WALL-CLOCK BUDGET (env SPARK_GRAFT_TIME_BUDGET_S, default 2400s):
+ *     scaling pairs beyond the mandatory two are only added while the
+ *     measured per-pair cost plus a reserve for the mandatory later
+ *     phases (gauntlet + skew) fits the remaining budget; the optional
+ *     calibrations (styles run, vanilla PageRank, shuffle ceiling) are
+ *     skipped first. Skips are recorded in budget.skipped and
+ *     budget.truncated — a tight window degrades the evidence
+ *     granularity, not its existence.
+ *  c. The scaling graph halved (SPARK_GRAFT_SCALE_CONVS default 600k,
+ *     ~10.5M edges): the gated statistic is a RATIO of step times, which
+ *     the graph size cancels out of, and the round-4 size (1.2M convs,
+ *     ~25s per 2-core step) made a 5-pair run alone cost ~an hour.
  *
  * Measurement discipline (round 3, after the round-2 driver run measured
  * 0.33 in a window where the builder measured 0.93 — BENCH_r02 vs
  * BASELINE.md):
- *  1. The scaling phase runs FIRST, before the 30-minute query gauntlet
- *     heats the JVM/tmpfs and before any host drift accumulates.
+ *  1. The scaling phase runs FIRST, before the query gauntlet heats the
+ *     JVM/tmpfs and before any host drift accumulates.
  *  2. Core counts are INTERLEAVED in adjacent pairs (lo, hi, lo, hi, ...):
  *     this host degrades for many-minute stretches, so a lo-run and hi-run
  *     measured minutes apart see different machines. Within a pair the two
@@ -48,8 +72,9 @@ import graft.algos.{PageRank, ConnectedComponents}
  *     across every window, 8-core runs swing 3x). Both the raw and the
  *     filtered medians are emitted, plus the legacy cross-pair-minima
  *     statistic, so the exclusion is auditable from the JSON alone.
- *  4. If the per-pair efficiencies disagree badly (spread > 35%), one
- *     extra pair runs (the window was noisy); capped at basePairs+1.
+ *  4. If the per-pair efficiencies disagree badly (spread > 35%), extra
+ *     pairs run (the window was noisy); capped at basePairs+2, budget
+ *     permitting.
  */
 object Bench {
 
@@ -87,10 +112,9 @@ object Bench {
     s
   }
 
-  /** PageRank on a prepared graph; returns (wallSecs, edges, per-superstep
-   * millis). */
+  /** PageRank on a prepared graph; returns (wallSecs, edges, metrics). */
   private def timePr(spark: SparkSession, verts: DataFrame, prEdges: DataFrame, n: Long,
-                     iters: Int, parts: Int, fuse: Int): (Double, Long, Seq[Long]) = {
+                     iters: Int, parts: Int, fuse: Int): (Double, Long, Seq[SuperstepMetrics]) = {
     val e = prEdges.cache()
     val m = e.count() // materialize input outside the timed region
     val pregel = new Pregel(spark, PregelConfig(numPartitions = parts, mode = Hybrid,
@@ -100,7 +124,7 @@ object Bench {
     state.agg(sum("value")).head() // force final state
     val secs = (System.nanoTime() - t0) / 1e9
     e.unpersist(false)
-    (secs, m, metrics.map(_.wallMs))
+    (secs, m, metrics)
   }
 
   /** Steady-state step seconds from per-step walls: group by fused barrier
@@ -114,10 +138,14 @@ object Bench {
     (sorted.head / 1000.0, sorted(sorted.length / 2) / 1000.0)
   }
 
+  private def styleHistJson(metrics: Seq[SuperstepMetrics]): String =
+    Seq("push", "pull", "pull_shuffle")
+      .map(s => s""""$s":${metrics.count(_.style == s)}""").mkString("{", ",", "}")
+
   /** Vanilla-Spark PageRank: stock DataFrame ops, no graft kernel — the
    * canonical cached-edges + per-iteration join/agg/eager-localCheckpoint
    * loop a Spark user writes. Same input, same iteration count, same
-   * partitioning; its 4->16 scaling is the host's ceiling for THIS
+   * partitioning; its lo->hi scaling is the host's ceiling for THIS
    * workload class (iterative cached-scan + shuffle), which the generic
    * shuffle calibration overstates. */
   private def vanillaPr(spark: SparkSession, verts: DataFrame, prEdges: DataFrame,
@@ -195,9 +223,59 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val iters = SparkEntry.PR_ITERS
     val fuse = sys.env.getOrElse("SPARK_GRAFT_FUSE", "4").toInt
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "2400").toDouble
+    val wallT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wallT0) / 1e9
+    def remainingS: Double = budgetS - elapsedS
+
+    // ---- incremental emission state: the full JSON is re-assemblable at
+    // every phase boundary; unfinished phases carry "pending" ----
+    object st {
+      @volatile var printed = false
+      var phase = "init"
+      var truncated = false
+      var skipped: List[String] = Nil
+      var queriesJson = "{}"
+      var totalQueries = 0.0
+      var errorsJson = "{}"
+      var derivationSecs = -1.0
+      var canaryBefore = -1.0
+      var canaryAfter = -1.0
+      var pagerankJson = """{"pending":true}"""
+      var scalingJson = """{"pending":true}"""
+      var skewJson = """{"pending":true}"""
+    }
+    def assemble(): String = {
+      val skippedJson = st.skipped.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${f"${st.totalQueries}%.3f"},"unit":"sec","queries":${st.queriesJson},"sf":"$sfDir",""" +
+        s""""errors":${st.errorsJson},""" +
+        s""""budget":{"budget_s":${budgetS.toLong},"wall_s":${elapsedS.toLong},"phase":"${st.phase}",""" +
+        s""""truncated":${st.truncated},"skipped":$skippedJson},""" +
+        s""""derivation_secs":${f"${st.derivationSecs}%.3f"},""" +
+        s""""canary_before_secs":${f"${st.canaryBefore}%.3f"},"canary_after_secs":${f"${st.canaryAfter}%.3f"},""" +
+        s""""pagerank":${st.pagerankJson},""" +
+        s""""scaling":${st.scalingJson},""" +
+        s""""skew":${st.skewJson}}"""
+    }
+    @volatile var latestJson = assemble()
+    def emit(phase: String): Unit = {
+      st.phase = phase
+      latestJson = assemble()
+      try {
+        val tgt = java.nio.file.Paths.get("target")
+        java.nio.file.Files.createDirectories(tgt)
+        java.nio.file.Files.writeString(tgt.resolve("bench_last.json"), latestJson)
+      } catch { case _: Throwable => () }
+    }
+    // A timeout kill (SIGTERM) runs shutdown hooks: print whatever exists
+    // so a killed run still hands the driver every completed phase.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!st.printed) { println(latestJson); Console.flush() }
+    }))
+    emit("init")
 
     // ================= 1) SCALING — first, interleaved pairs =============
-    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "1200000").toLong
+    val scaleConvs = sys.env.getOrElse("SPARK_GRAFT_SCALE_CONVS", "600000").toLong
     // BOTH sides sample the same number of measured supersteps (12 = 3
     // fused groups, drop 1 warm group, 2 steady groups each) — the hi
     // side's slow per-session warm-up is paid by a LONGER untimed warm-up
@@ -233,8 +311,9 @@ object Bench {
       v.select("vid").write.mode("overwrite").parquet(s"$scaleDir/verts")
       s.stop()
     }
+    emit("scale-graph-materialized")
 
-    /** One timed run: (wallSecs, edges, steady group step-seconds).
+    /** One timed run: (wallSecs, edges, steady group step-seconds, canary).
      * Each SparkSession needs ~3 fused groups to reach steady state
      * (measured: 16-core groups decline 12.2 -> 10.7 -> 8.0 -> 4.4s even
      * in a JIT-warm JVM — per-session warm-up, not JIT), so an untimed
@@ -243,19 +322,20 @@ object Bench {
      * tasks are long enough to amortize everything — so it warms less);
      * the measured run then drops only its own first group (cache
      * re-materialization). */
-    def scaleRun(cores: Int, nIters: Int, warmIters: Int): (Double, Long, Seq[Double], Double) = {
+    def scaleRun(cores: Int, nIters: Int, warmIters: Int): (Double, Long, Seq[Double], Double, Seq[SuperstepMetrics]) = {
       val s = session(cores, scaleParts, aqe = false)
       val verts = s.read.parquet(s"$scaleDir/verts")
       val pe = s.read.parquet(s"$scaleDir/edges")
       val n = verts.count()
       timePr(s, verts, pe, n, warmIters, scaleParts, fuse) // in-session warm-up, discarded
-      val (secs, m, wall) = timePr(s, verts, pe, n, nIters, scaleParts, fuse)
+      val (secs, m, mets) = timePr(s, verts, pe, n, nIters, scaleParts, fuse)
       // in-session host canary: same-core-count canaries are comparable
       // across pairs, so a degraded hi window is attributable from the JSON
       val can = canary(s)
       s.stop()
+      val wall = mets.map(_.wallMs)
       val groups = wall.grouped(math.max(1, fuse)).map(g => g.sum / g.size / 1000.0).toSeq
-      (secs, m, groups.drop(math.min(1, groups.length - 1)), can)
+      (secs, m, groups.drop(math.min(1, groups.length - 1)), can, mets)
     }
 
     // The hi side needs ~4 fused groups of in-session warm-up before its
@@ -269,7 +349,8 @@ object Bench {
 
     final case class Pair(secsLo: Double, secsHi: Double,
                           loGroups: Seq[Double], hiGroups: Seq[Double],
-                          canLo: Double, canHi: Double) {
+                          canLo: Double, canHi: Double,
+                          hiStyles: Seq[SuperstepMetrics]) {
       def loMin: Double = loGroups.min
       def hiMin: Double = hiGroups.min
       def loMed: Double = loGroups.sorted.apply(loGroups.length / 2)
@@ -279,15 +360,15 @@ object Bench {
     }
     val pairs = scala.collection.mutable.ArrayBuffer[Pair]()
     var scaleEdges = 0L
+    var lastPairCostS = 0.0
     def runPair(): Unit = {
-      val (sLo, m, loG, cLo) = scaleRun(loCores, scaleIters, warmItersLo)
-      val (sHi, _, hiG, cHi) = scaleRun(hiCores, scaleItersHi, warmItersHi)
+      val p0 = elapsedS
+      val (sLo, m, loG, cLo, _) = scaleRun(loCores, scaleIters, warmItersLo)
+      val (sHi, _, hiG, cHi, hiMets) = scaleRun(hiCores, scaleItersHi, warmItersHi)
       scaleEdges = m
-      pairs += Pair(sLo, sHi, loG, hiG, cLo, cHi)
+      pairs += Pair(sLo, sHi, loG, hiG, cLo, cHi, hiMets)
+      lastPairCostS = elapsedS - p0
     }
-    (1 to basePairs).foreach(_ => runPair())
-    // Self-detect a noisy window: if per-pair efficiencies disagree by
-    // >35%, add one more pair (cap basePairs+1) so the median settles.
     def cleanOf(ps: Seq[Pair]): Seq[Pair] = {
       val minCan = ps.map(_.canHi).min
       ps.filter(_.canHi <= 1.5 * minCan)
@@ -298,7 +379,19 @@ object Bench {
       clean.length < basePairs ||
         (effs.max > 0 && (effs.max - effs.min) / effs.max > 0.35)
     }
-    while (pairs.length < basePairs + 2 && needMore) runPair()
+    // Budget reserve for the MANDATORY later phases (gauntlet + skew +
+    // final emission): past this, extra pairs trade arbiter-contract
+    // fields for scaling samples — never worth it.
+    val mandatoryReserveS = 700.0
+    def pairFits: Boolean = remainingS > 1.25 * math.max(lastPairCostS, 60.0) + mandatoryReserveS
+    runPair() // two pairs are the floor for a defensible median —
+    runPair() // always run them; the budget guard gates only extras
+    // Self-detect a noisy window: if per-pair efficiencies disagree by
+    // >35% or canary exclusions bite, add pairs (cap basePairs+2) while
+    // the budget holds.
+    while (pairs.length < basePairs + 2 && (pairs.length < basePairs || needMore)
+      && { val fits = pairFits; if (!fits) st.truncated = true; fits }) runPair()
+    if (pairs.length < basePairs) { st.truncated = true; st.skipped ::= s"scaling_pairs_${basePairs - pairs.length}" }
 
     // GATED STATISTIC — the median over canary-clean pairs of the
     // per-pair efficiency loMin/(4*hiMin), equal steady-group counts on
@@ -337,48 +430,118 @@ object Bench {
         s""""excluded":${p.canHi > 1.5 * minCanHi},""" +
         s""""eff":${f"${p.effMin}%.3f"},"eff_med":${f"${p.effMed}%.3f"}}""").mkString("[", ",", "]")
 
+    // ---- optional calibrations: hybrid-style trace, vanilla PageRank,
+    // generic shuffle ceiling. Skipped (recorded) when the budget is
+    // tight; each failure is caught so a calibration can never cost the
+    // run its mandatory phases.
+    var stylesCcJson = "null"
+    var vanJson = s""""vanilla_spark_pagerank_efficiency":null,""" +
+      s""""vanilla_spark_pagerank_efficiency_median":null,"""
+    var calJson = s""""host_vanilla_shuffle_efficiency":null,"""
+    var effVsVanJson = s""""efficiency_vs_vanilla_spark":null"""
+
+    def scalingObj(): String =
+      s"""{"convs":$scaleConvs,"edges":$scaleEdges,"iters":$scaleIters,"iters_hi":$scaleItersHi,"fuse":$fuse,"parts":$scaleParts,""" +
+        s""""cores_lo":$loCores,"cores_hi":$hiCores,"pairs":$pairsJson,""" +
+        s""""secs_lo":${f"${gatedPair.secsLo}%.3f"},"secs_hi":${f"${gatedPair.secsHi}%.3f"},""" +
+        s""""steady_step_secs_lo":${f"${gatedPair.loMin}%.3f"},"steady_step_secs_hi":${f"${gatedPair.hiMin}%.3f"},""" +
+        s""""median_step_secs_lo":${f"${gatedPair.loMed}%.3f"},"median_step_secs_hi":${f"${gatedPair.hiMed}%.3f"},""" +
+        s""""edges_per_sec_lo":${f"$thrLo%.0f"},"edges_per_sec_hi":${f"$thrHi%.0f"},""" +
+        s""""efficiency":${f"$eff%.3f"},""" +
+        s""""efficiency_median_raw":${f"$effMedianRaw%.3f"},""" +
+        s""""efficiency_pair_medstat":${f"$effMed%.3f"},""" +
+        s""""efficiency_minstat_legacy":${f"$effMinstat%.3f"},""" +
+        s""""pairs_excluded":${pairs.length - cleanPairs.length},""" +
+        s""""efficiency_best_pair":${f"${pairs.map(_.effMin).max}%.3f"},""" +
+        s""""styles_pagerank":${styleHistJson(gatedPair.hiStyles)},""" +
+        s""""styles":$stylesCcJson,""" +
+        vanJson + calJson + effVsVanJson + "}"
+    st.scalingJson = scalingObj()
+    emit("scaling")
+
+    // Superstep style histogram of a HYBRID CC run over the same graph at
+    // full cores: CC's respond set shrinks every superstep, so the trace
+    // walks the cost model through its styles (push early, a pull variant
+    // in the tail) — the at-scale evidence that the hybrid switch engages
+    // outside specs (reference analog: the SuperStepCommand style trace,
+    // JobInProgress.getNextSuperStepCommand:862-1019).
+    if (remainingS > mandatoryReserveS + 180) {
+      try {
+        val s = session(cpus, scaleParts, aqe = false)
+        val verts = s.read.parquet(s"$scaleDir/verts")
+        val sym = LinkGraph.symmetrize(s.read.parquet(s"$scaleDir/edges"))
+        val t0 = System.nanoTime()
+        val (_, mets) = new Pregel(s, PregelConfig(numPartitions = scaleParts, mode = Hybrid))
+          .run(new ConnectedComponents(30), verts, sym)
+        val secs = (System.nanoTime() - t0) / 1e9
+        s.stop()
+        val trace = mets.map(m => "\"" + m.style + "\"").mkString("[", ",", "]")
+        stylesCcJson = s"""{"algo":"cc","cores":$cpus,"supersteps":${mets.length},""" +
+          s""""secs":${f"$secs%.2f"},"hist":${styleHistJson(mets)},"trace":$trace}"""
+      } catch { case _: Throwable => stylesCcJson = "null"; st.skipped ::= "styles_cc_failed" }
+    } else { st.truncated = true; st.skipped ::= "styles_cc" }
+    st.scalingJson = scalingObj()
+    emit("styles")
+
     // ---------------- vanilla-Spark PageRank calibration (one adjacent
     // pair, same bytes/iters/partitions/statistic)
-    def vanillaRun(cores: Int): (Double, Double) = {
-      val s = session(cores, scaleParts, aqe = false)
-      val verts = s.read.parquet(s"$scaleDir/verts")
-      val pe = s.read.parquet(s"$scaleDir/edges")
-      // 12 iterations = 3 fused groups, drop 1 warm group -> 2 steady
-      // groups: the SAME sampling and statistic as each engine side
-      val wall = vanillaPr(s, verts, pe, math.max(12, fuse * 3), scaleParts)
-      s.stop()
-      steadyStepSecs(wall, fuse, drop = 1)
-    }
-    val (vanLo, vanLoMed) = vanillaRun(loCores)
-    val (vanHi, vanHiMed) = vanillaRun(hiCores)
-    val vanEff = (vanLo / vanHi) / 4.0
-    val vanEffMed = (vanLoMed / vanHiMed) / 4.0
+    if (remainingS > mandatoryReserveS + 300) {
+      try {
+        def vanillaRun(cores: Int): (Double, Double) = {
+          val s = session(cores, scaleParts, aqe = false)
+          val verts = s.read.parquet(s"$scaleDir/verts")
+          val pe = s.read.parquet(s"$scaleDir/edges")
+          // 12 iterations = 3 fused groups, drop 1 warm group -> 2 steady
+          // groups: the SAME sampling and statistic as each engine side
+          val wall = vanillaPr(s, verts, pe, math.max(12, fuse * 3), scaleParts)
+          s.stop()
+          steadyStepSecs(wall, fuse, drop = 1)
+        }
+        val (vanLo, vanLoMed) = vanillaRun(loCores)
+        val (vanHi, vanHiMed) = vanillaRun(hiCores)
+        val vanEff = (vanLo / vanHi) / 4.0
+        val vanEffMed = (vanLoMed / vanHiMed) / 4.0
+        vanJson = s""""vanilla_spark_pagerank_efficiency":${f"$vanEff%.3f"},""" +
+          s""""vanilla_spark_pagerank_efficiency_median":${f"$vanEffMed%.3f"},"""
+        effVsVanJson = s""""efficiency_vs_vanilla_spark":${f"${eff / vanEff}%.3f"}"""
+      } catch { case _: Throwable => st.skipped ::= "vanilla_pagerank_failed" }
+    } else { st.truncated = true; st.skipped ::= "vanilla_pagerank" }
 
     // generic host ceiling: plain shuffle+agg (kept for round-1 continuity)
-    def calRun(cores: Int): Double = {
-      val s = session(cores, cores, aqe = false)
-      val rows = 20000000L
-      s.range(rows / 10).groupBy((col("id") % 1000000).as("k")).agg(sum("id")).agg(count(lit(1))).head()
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        s.range(rows).groupBy((col("id") % (rows / 2)).as("k")).agg(sum("id")).agg(count(lit(1))).head()
-        (System.nanoTime() - t0) / 1e9
-      }
-      s.stop()
-      times.sorted.apply(1)
-    }
-    val calEff = calRun(loCores) / calRun(hiCores) / 4.0
+    if (remainingS > mandatoryReserveS + 120) {
+      try {
+        def calRun(cores: Int): Double = {
+          val s = session(cores, cores, aqe = false)
+          val rows = 20000000L
+          s.range(rows / 10).groupBy((col("id") % 1000000).as("k")).agg(sum("id")).agg(count(lit(1))).head()
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            s.range(rows).groupBy((col("id") % (rows / 2)).as("k")).agg(sum("id")).agg(count(lit(1))).head()
+            (System.nanoTime() - t0) / 1e9
+          }
+          s.stop()
+          times.sorted.apply(1)
+        }
+        val calEff = calRun(loCores) / calRun(hiCores) / 4.0
+        calJson = s""""host_vanilla_shuffle_efficiency":${f"$calEff%.3f"},"""
+      } catch { case _: Throwable => st.skipped ::= "shuffle_ceiling_failed" }
+    } else { st.truncated = true; st.skipped ::= "shuffle_ceiling" }
+    st.scalingJson = scalingObj()
+    emit("calibrations")
 
     // ================= 2) headline PageRank + query gauntlet =============
     val spark = session(cpus, cpus)
     val tDer0 = System.nanoTime()
     val g = SparkEntry.graphOf(spark, sfDir)
     g.verts.count() // materialize the shared vertex cache
-    val derivationSecs = (System.nanoTime() - tDer0) / 1e9
-    val (prSecs, prEdges, prWall) = timePr(spark, g.verts.select("vid"), g.prEdges, g.n, iters, cpus, fuse)
-    val prSteps = prWall.length
+    st.derivationSecs = (System.nanoTime() - tDer0) / 1e9
+    val (prSecs, prEdges, prMets) = timePr(spark, g.verts.select("vid"), g.prEdges, g.n, iters, cpus, fuse)
+    val prSteps = prMets.length
     val edgesPerSec = prEdges.toDouble * prSteps / prSecs
     val superstepsPerHour = prSteps / prSecs * 3600.0
+    st.pagerankJson = s"""{"edges":$prEdges,"supersteps":$prSteps,"secs":${f"$prSecs%.3f"},""" +
+      s""""edges_per_sec":${f"$edgesPerSec%.0f"},"supersteps_per_hour":${f"$superstepsPerHour%.1f"}}"""
+    emit("pagerank")
 
     // Representative query timings. Excluded at bench scale: ann_topk (the
     // intentional O(n^2) correctness baseline — the LSH variant stands in)
@@ -394,7 +557,7 @@ object Bench {
       "dedup_embedding", "ann_lsh", "ann_ivf",
       "text_langid", "text_quality", "text_tokens", "text_fingerprint",
       "multimodal_meta", "multimodal_decode")
-    val canaryBefore = canary(spark)
+    st.canaryBefore = canary(spark)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = benchQueries.map { name =>
       val t0 = System.nanoTime()
@@ -406,8 +569,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -1.0)
     }
-    val canaryAfter = canary(spark)
+    st.canaryAfter = canary(spark)
     spark.stop()
+    def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    st.queriesJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    st.totalQueries = results.map(_._2).filter(_ > 0).sum
+    st.errorsJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    emit("queries")
 
     // ================= 3) skew: hub salting, interleaved off/on ==========
     // The graph is the transcript graph PLUS a genuine hub: vertex 0
@@ -418,7 +587,7 @@ object Bench {
     // vertex responds every superstep — so the unsalted hub's one-task
     // out-edge explosion recurs at EVERY superstep instead of only the
     // first.
-    val skewJson = {
+    st.skewJson = {
       // 16 cores: the hub straggler dominates in proportion to available
       // parallelism (at 2-8 cores the unsalted hub explode hides among
       // the few task slots); 16 is the widest count that stays clear of
@@ -456,46 +625,14 @@ object Bench {
       s.stop()
       val (unsSecs, unsMax, unsP50) = off.minBy(_._1)
       val (salSecs, salMax, salP50) = on.minBy(_._1)
-      s""""skew":{"edges":$m,"max_degree":$maxDeg,"algo":"lpa","supersteps":16,""" +
+      s"""{"edges":$m,"max_degree":$maxDeg,"algo":"lpa","supersteps":16,""" +
         s""""unsalted":{"secs":${f"$unsSecs%.2f"},"task_ms_max":$unsMax,"task_ms_p50":$unsP50},""" +
         s""""salted":{"secs":${f"$salSecs%.2f"},"task_ms_max":$salMax,"task_ms_p50":$salP50}}"""
     }
+    emit("done")
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum
-    def jq(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\x00-\\x1f]", " ") + "\""
-    val errJson = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
-        s""""errors":$errJson,""" +
-        s""""derivation_secs":${f"$derivationSecs%.3f"},""" +
-        s""""canary_before_secs":${f"$canaryBefore%.3f"},"canary_after_secs":${f"$canaryAfter%.3f"},""" +
-        s""""pagerank":{"edges":$prEdges,"supersteps":$prSteps,"secs":${f"$prSecs%.3f"},""" +
-        s""""edges_per_sec":${f"$edgesPerSec%.0f"},"supersteps_per_hour":${f"$superstepsPerHour%.1f"}},""" +
-        s""""scaling":{"edges":$scaleEdges,"iters":$scaleIters,"iters_hi":$scaleItersHi,"fuse":$fuse,"parts":$scaleParts,""" +
-        s""""cores_lo":$loCores,"cores_hi":$hiCores,"pairs":$pairsJson,""" +
-        s""""secs_lo":${f"${gatedPair.secsLo}%.3f"},"secs_hi":${f"${gatedPair.secsHi}%.3f"},""" +
-        s""""steady_step_secs_lo":${f"${gatedPair.loMin}%.3f"},"steady_step_secs_hi":${f"${gatedPair.hiMin}%.3f"},""" +
-        s""""median_step_secs_lo":${f"${gatedPair.loMed}%.3f"},"median_step_secs_hi":${f"${gatedPair.hiMed}%.3f"},""" +
-        s""""edges_per_sec_lo":${f"$thrLo%.0f"},"edges_per_sec_hi":${f"$thrHi%.0f"},""" +
-        s""""efficiency":${f"$eff%.3f"},"efficiency_median":${f"$eff%.3f"},""" +
-        s""""efficiency_median_raw":${f"$effMedianRaw%.3f"},""" +
-        s""""efficiency_pair_medstat":${f"$effMed%.3f"},""" +
-        s""""efficiency_minstat_legacy":${f"$effMinstat%.3f"},""" +
-        s""""pairs_excluded":${pairs.length - cleanPairs.length},""" +
-        s""""efficiency_best_pair":${f"${pairs.map(_.effMin).max}%.3f"},""" +
-        s""""vanilla_spark_pagerank_efficiency":${f"$vanEff%.3f"},""" +
-        s""""vanilla_spark_pagerank_efficiency_median":${f"$vanEffMed%.3f"},""" +
-        s""""host_vanilla_shuffle_efficiency":${f"$calEff%.3f"},""" +
-        s""""efficiency_vs_vanilla_spark":${f"${eff / vanEff}%.3f"}},""" +
-        skewJson + "}"
-    println(json)
-    try {
-      val tgt = java.nio.file.Paths.get("target")
-      java.nio.file.Files.createDirectories(tgt)
-      java.nio.file.Files.writeString(tgt.resolve("bench_last.json"), json)
-    } catch { case _: Throwable => () }
+    st.printed = true
+    println(latestJson)
     // A failed bench query is a loud failure, not a silent -1.0 blip.
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
