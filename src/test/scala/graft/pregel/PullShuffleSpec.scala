@@ -74,6 +74,31 @@ class PullShuffleSpec extends graft.SparkTestBase {
     assert(sssp(ForcePullShuffle) == sssp(ForcePush))
   }
 
+  test("fragment rows are hard-capped: a 10^6-in-degree hub sub-splits, edge multiset intact") {
+    // one hub dst with 10^6 in-edges, all in one source block (blkLen
+    // 2*10^6): without the cap this is ONE collect_list row of 10^6
+    // structs (VERDICT r4 #3); with fragCap=4096 it must become
+    // ceil(10^6/4096)=245 rows of <= 4096 each, and the exploded edge
+    // multiset must be exactly the input (chunking must never drop or
+    // duplicate an edge)
+    val n = 1000000L
+    val cap = 4096L
+    val flat = spark.range(n).select(col("id").as("src"), lit(7777777L).as("dst"))
+    val frags = Pregel.packInFragments(flat, blkLen = 2000000L, p = 8,
+      hasWeight = false, fragCap = cap)
+    val stats = frags.select(count(lit(1)).as("rows"),
+        max(size(col("_iadj"))).as("maxLen"), sum(size(col("_iadj"))).as("edges"))
+      .head()
+    assert(stats.getLong(0) == (n + cap - 1) / cap,
+      s"expected ${(n + cap - 1) / cap} fragment rows, got ${stats.getLong(0)}")
+    assert(stats.getInt(1) <= cap, s"fragment row above cap: ${stats.getInt(1)}")
+    assert(stats.getLong(2) == n, s"edge multiset changed: ${stats.getLong(2)}")
+    // distinct srcs across all fragments == all srcs (no dup across chunks)
+    val distinctSrcs = frags.select(explode(col("_iadj")).as("e"))
+      .select(col("e.src")).distinct().count()
+    assert(distinctSrcs == n)
+  }
+
   test("in-edge fragments: grid structure and dependency-matrix pruning") {
     import spark.implicits._
     // two source blocks (blkLen=100): block 0 = srcs 0..9 -> dsts 500..509,
