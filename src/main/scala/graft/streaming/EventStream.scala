@@ -33,6 +33,24 @@ private case class ConvState(nextIdx: Int)
  * under that contract). An out-of-order producer needs an upstream
  * watermarked sort or a batch backfill — the standard streaming
  * trade-off, stated rather than hidden.
+ *
+ * State retention contract: by default per-conversation state (one Int)
+ * never expires — on a boundless ingest whose conversation key space
+ * grows forever the state store grows with it. `idleTimeout` bounds it:
+ * a conversation idle longer than the timeout is evicted, and — the
+ * retention trade-off, stated like the ordering one — if it then
+ * RESUMES, its turn indexing restarts at 0, so choose a timeout above
+ * the maximum believable conversation gap (or leave None and compact
+ * via batch backfill). Caveat for `idleTimeout` queries: Spark's
+ * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+ * unconditionally true under ProcessingTimeTimeout, so the query
+ * schedules a (possibly empty) micro-batch EVERY trigger to service
+ * timeouts — set a real trigger interval
+ * (`.trigger(Trigger.ProcessingTime(...))`); with the default
+ * zero-interval trigger the query busy-loops and
+ * `processAllAvailable()` never observes an idle stream. Each group's
+ * micro-batch slice is buffered in memory for the sort: bounded by
+ * events-per-conversation-per-trigger, not by history.
  */
 object EventStream {
 
@@ -45,25 +63,65 @@ object EventStream {
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Incremental transcript derivation: per-conversation keyed state
-   * assigns dense turn indexes as events arrive; each turn is emitted
-   * exactly once (append), already in the batch transcript shape. */
-  def transcripts(events: Dataset[Event]): DataFrame = {
-    val indexed = events
+  /** The keyed-state turn indexer both derivations below share: per-
+   * conversation state (the next dense index) assigns turn_idx as events
+   * arrive; each turn is emitted exactly once (append). With an
+   * `idleTimeout`, state for conversations idle past it is evicted (see
+   * the retention contract in the class doc). */
+  private[streaming] def indexed(events: Dataset[Event],
+                                 idleTimeout: Option[String]): Dataset[IndexedEvent] =
+    events
       .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
       .flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      OutputMode.Append,
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout) {
       (uid: Long, it: Iterator[Event], state: GroupState[ConvState]) =>
-        val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        val start = state.getOption.map(_.nextIdx).getOrElse(0)
-        state.update(ConvState(start + batch.size))
-        batch.iterator.zipWithIndex.map { case (e, i) =>
-          IndexedEvent(uid, start + i, e.event_type, e.props, e.ts)
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val batch = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val start = state.getOption.map(_.nextIdx).getOrElse(0)
+          state.update(ConvState(start + batch.size))
+          // must be re-armed every micro-batch the group appears in
+          idleTimeout.foreach(state.setTimeoutDuration)
+          batch.iterator.zipWithIndex.map { case (e, i) =>
+            IndexedEvent(uid, start + i, e.event_type, e.props, e.ts)
+          }
         }
     }(org.apache.spark.sql.Encoders.product[ConvState],
       org.apache.spark.sql.Encoders.product[IndexedEvent])
-    Transcripts.turnShape(indexed.toDF())
-  }
+
+  /** Incremental transcript derivation: the indexer above projected into
+   * the batch transcript shape ([[Transcripts.turnShape]], shared
+   * verbatim with the batch path). */
+  def transcripts(events: Dataset[Event],
+                  idleTimeout: Option[String] = None): DataFrame =
+    Transcripts.turnShape(indexed(events, idleTimeout).toDF())
+
+  /** Incremental ADJ-edge derivation — the graph itself, not just the
+   * transcript table, maintained as events arrive: every indexed turn
+   * i >= 1 IS the (i-1, i) turn-adjacency edge of its conversation,
+   * emitted exactly once, so edge emission is a stateless projection of
+   * the same keyed indexer (no second state machine to drift from it).
+   * Edges are in (conv_id, turn) space: the dense vid of the batch
+   * derivation is a global property (a prefix sum over ALL conversations,
+   * [[graft.graph.LinkGraph.convOffsets]]) that no incremental operator
+   * can know — map to vids by joining the vertex table, which is what
+   * StreamingSpec does to prove row-for-row equality with
+   * [[graft.graph.LinkGraph.directedEdges]]' ADJ set. TOOL-star edges
+   * (min-vid hub per tool) have UPDATE semantics (a later event can
+   * re-root a star) and stay a batch/backfill derivation by design. */
+  def adjEdges(events: Dataset[Event],
+               idleTimeout: Option[String] = None): DataFrame =
+    indexed(events, idleTimeout).toDF()
+      .filter(col("turn_idx") >= 1)
+      .select(
+        concat(lit("conv-"), lpad(col("user_id").cast("string"), 20, "0")).as("conv_id"),
+        (col("turn_idx") - 1).cast("int").as("src_turn"),
+        col("turn_idx").cast("int").as("dst_turn"),
+        lit("adj").as("kind"))
 
   /** Watermarked per-conversation activity: events and error count per
    * (user, tumbling window). Append-capable (windows finalize once the

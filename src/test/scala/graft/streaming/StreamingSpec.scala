@@ -51,6 +51,38 @@ class StreamingSpec extends graft.SparkTestBase {
     } finally q.stop()
   }
 
+  test("incremental ADJ edges == LinkGraph.directedEdges adj set (vid-mapped)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventStream.adjEdges(ms.toDS())
+      .writeStream.format("memory").queryName("st_edges")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+      // map (conv_id, turn) -> the batch derivation's dense vid: the global
+      // prefix-sum vid is a batch property; the streamed edges carry the
+      // incremental (conv_id, turn) identity
+      val verts = graft.graph.LinkGraph.vertices(batchTranscripts).cache()
+      val vmap = verts.select(col("conv_id"), col("turn_idx"), col("vid"))
+      val streamed = spark.table("st_edges")
+        .join(vmap.withColumnRenamed("turn_idx", "src_turn")
+          .withColumnRenamed("vid", "src"), Seq("conv_id", "src_turn"))
+        .join(vmap.withColumnRenamed("turn_idx", "dst_turn")
+          .withColumnRenamed("vid", "dst"), Seq("conv_id", "dst_turn"))
+        .select("src", "dst", "kind")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      val batch = graft.graph.LinkGraph.directedEdges(verts)
+        .filter(col("kind") === "adj")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      assert(streamed.length == 4) // 6 turns, 2 conversations -> 4 adj edges
+      assert(streamed.sameElements(batch),
+        s"stream=${streamed.mkString(";")}\nbatch=${batch.mkString(";")}")
+      verts.unpersist(false)
+    } finally q.stop()
+  }
+
   test("watermarked conversation activity == batch windowed aggregation") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
