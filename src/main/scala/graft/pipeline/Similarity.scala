@@ -182,9 +182,14 @@ object Similarity {
    * refinement computed in-plan (posexplode -> per-(cell, dim) mean ->
    * ordered re-pack), every mean rounded to 6dp so the SQL oracle's
    * element-wise means match bit-for-bit. At 100 TB the quantizer trains
-   * offline on a sample; the partition/probe/verify plumbing is the part
-   * that scales. */
-  def annIvf(emb: DataFrame, k: Int, kCells: Int = 16, probes: Int = 2): DataFrame = {
+   * on a SAMPLE — `trainFraction` < 1 restricts seeding and the Lloyd
+   * pass to a deterministic hash-sample of the corpus (the standard IVF
+   * recipe: train on ~1-10%%, assign/probe/verify everything), so the
+   * training scan no longer grows with the corpus. The gate keeps
+   * fraction = 1 so the DuckDB oracle mirrors training exactly;
+   * PipelineSpec asserts recall holds at fraction 0.25. */
+  def annIvf(emb: DataFrame, k: Int, kCells: Int = 16, probes: Int = 2,
+             trainFraction: Double = 1.0): DataFrame = {
     // Codebook as ONE 2D literal + zip_with traversal: a single fold
     // expression loops over the K centroids (16 inlined per-centroid
     // cosine folds made codegen quadratic-sized and dominated the wall).
@@ -197,11 +202,17 @@ object Similarity {
       (-array_max(transform(cosCells(cents),
         x => struct(x.getField("cos").as("cos"), (-x.getField("cell")).as("negCell"))))
         .getField("negCell")).cast("long")
-    val seeds: Seq[(Long, Seq[Double])] = emb.orderBy("vec_id").limit(kCells)
+    // deterministic hash-sample (not Dataset.sample: that is seed+plan
+    // dependent, and the trained codebook must be reproducible)
+    val train =
+      if (trainFraction >= 1.0) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+        lit((trainFraction * 1000000L).toLong))
+    val seeds: Seq[(Long, Seq[Double])] = train.orderBy("vec_id").limit(kCells)
       .select(col("embedding").cast("array<double>")).collect()
       .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](0).toIndexedSeq) }.toIndexedSeq
-    val assign0 = emb.select(col("vec_id"), assignCol(seeds).as("cell"))
-    val cent: Seq[(Long, Seq[Double])] = assign0.join(emb, "vec_id")
+    val assign0 = train.select(col("vec_id"), assignCol(seeds).as("cell"))
+    val cent: Seq[(Long, Seq[Double])] = assign0.join(train, "vec_id")
       .select(col("cell"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos")).agg(round(avg(col("v")), 6).as("cv"))
       .groupBy(col("cell"))
@@ -242,8 +253,11 @@ object Similarity {
        |    FROM embeddings e CROSS JOIN seeds s) t WHERE rn = 1
        |),
        |flat AS MATERIALIZED (
+       |  -- positions derive from the row's OWN array (generate_subscripts),
+       |  -- not a hardcoded dimension: a fixture with dim != 64 must track,
+       |  -- not silently zip-pad against a longer range (ADVICE r4)
        |  SELECT a0.cell,
-       |         unnest(range(64)) AS pos,
+       |         generate_subscripts(CAST(e.embedding AS DOUBLE[]), 1) - 1 AS pos,
        |         unnest(CAST(e.embedding AS DOUBLE[])) AS v
        |  FROM a0 JOIN embeddings e USING (vec_id)
        |),
