@@ -459,27 +459,48 @@ object Bench {
     st.scalingJson = scalingObj()
     emit("scaling")
 
-    // Superstep style histogram of a HYBRID CC run over the same graph at
-    // full cores: CC's respond set shrinks every superstep, so the trace
-    // walks the cost model through its styles (push early, a pull variant
-    // in the tail) — the at-scale evidence that the hybrid switch engages
+    // Superstep style traces of HYBRID runs over the same graph at full
+    // cores — the at-scale evidence that the hybrid switch engages
     // outside specs (reference analog: the SuperStepCommand style trace,
-    // JobInProgress.getNextSuperStepCommand:862-1019).
-    if (remainingS > mandatoryReserveS + 180) {
+    // JobInProgress.getNextSuperStepCommand:862-1019). Two contrasting
+    // profiles:
+    //  - SSSP: a wavefront — respond starts at ONE vertex (pull), grows
+    //    past the broadcast cap (pull_shuffle), then shrinks scattered
+    //    (push) — the reference's own showcase of the switch;
+    //  - CC: starts ALL-active and shrinks SCATTERED across blocks, so
+    //    staying push is the cost-OPTIMAL trace (fragment volume of the
+    //    responding blocks never undercuts the shrinking message volume)
+    //    — the model declining to switch when switching would lose is
+    //    evidence of the same cost model, stated rather than hidden.
+    if (remainingS > mandatoryReserveS + 240) {
       try {
         val s = session(cpus, scaleParts, aqe = false)
         val verts = s.read.parquet(s"$scaleDir/verts")
         val sym = LinkGraph.symmetrize(s.read.parquet(s"$scaleDir/edges"))
-        val t0 = System.nanoTime()
-        val (_, mets) = new Pregel(s, PregelConfig(numPartitions = scaleParts, mode = Hybrid))
-          .run(new ConnectedComponents(30), verts, sym)
-        val secs = (System.nanoTime() - t0) / 1e9
+          .localCheckpoint(true)
+        def traceOf(algo: String): String = {
+          val t0 = System.nanoTime()
+          val prog = algo match {
+            case "sssp" => new graft.algos.SSSP(0L, 30)
+            case _ => new ConnectedComponents(30)
+          }
+          val edges = algo match {
+            case "sssp" => sym.select(col("src"), col("dst"), graft.algos.SSSP.weightCol)
+            case _ => sym
+          }
+          val (_, mets) = new Pregel(s, PregelConfig(numPartitions = scaleParts, mode = Hybrid))
+            .run(prog, verts, edges)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val trace = mets.map(m => "\"" + m.style + "\"").mkString("[", ",", "]")
+          s"""{"algo":"$algo","cores":$cpus,"supersteps":${mets.length},""" +
+            s""""secs":${f"$secs%.2f"},"hist":${styleHistJson(mets)},"trace":$trace}"""
+        }
+        val sssp = traceOf("sssp")
+        val cc = traceOf("cc")
         s.stop()
-        val trace = mets.map(m => "\"" + m.style + "\"").mkString("[", ",", "]")
-        stylesCcJson = s"""{"algo":"cc","cores":$cpus,"supersteps":${mets.length},""" +
-          s""""secs":${f"$secs%.2f"},"hist":${styleHistJson(mets)},"trace":$trace}"""
-      } catch { case _: Throwable => stylesCcJson = "null"; st.skipped ::= "styles_cc_failed" }
-    } else { st.truncated = true; st.skipped ::= "styles_cc" }
+        stylesCcJson = s"""{"sssp":$sssp,"cc":$cc}"""
+      } catch { case _: Throwable => stylesCcJson = "null"; st.skipped ::= "styles_failed" }
+    } else { st.truncated = true; st.skipped ::= "styles" }
     st.scalingJson = scalingObj()
     emit("styles")
 
