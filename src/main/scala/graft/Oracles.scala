@@ -80,6 +80,24 @@ object Oracles {
   def sa(source: Long, k: Int): String =
     withGraphChain(Seq(LinkGraph.prEdgesSql), SA.oracleSql(source, k))
 
+  def kcore(k: Int, iters: Int): String =
+    withGraphChain(Seq(LinkGraph.undirectedSql), KCore.oracleSql(k, iters))
+
+  def ppr(source: Long, iters: Int): String =
+    withGraphChain(Seq(LinkGraph.prEdgesSql), PersonalizedPageRank.oracleSql(source, iters))
+
+  /** Dedup-cluster composite: the MinHash-LSH pair chain feeds a
+   * vertices/uedges pair over doc_ids, then the unrolled CC min-label
+   * chain labels each document with its duplicate-cluster id. */
+  def dedupClusters(k: Int, bands: Int, minJ: Double, iters: Int): String =
+    materialize(
+      s"""WITH ${graft.pipeline.Dedup.minhashPairCtes(k, bands, minJ)},
+         |vertices AS (SELECT doc_id AS vid FROM documents),
+         |uedges AS (SELECT a AS src, b AS dst FROM mhpairs
+         |           UNION ALL SELECT b AS src, a AS dst FROM mhpairs),
+         |${ConnectedComponents.oracleChainSql(iters)}
+         |SELECT vid AS doc_id, lbl AS cluster FROM c$iters ORDER BY doc_id""".stripMargin)
+
   val triangles: String = withGraph(
     Seq(LinkGraph.canonicalSql, TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),
     """SELECT v.vid, coalesce(t.triangles, 0) AS triangles

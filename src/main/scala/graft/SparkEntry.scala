@@ -29,6 +29,8 @@ object SparkEntry {
   val SA_ITERS = 15
   val SA_SOURCE = 2L // reference default source.vertex.id=2 (SABSP.java:52)
   val MM_ITERS = 25 // == 1 (mod 3): both engines stop on a phase boundary
+  val KC_K = 3; val KC_ITERS = 8 // k-core peel rounds pinned engine<->oracle
+  val DC_ITERS = 8 // dedup-cluster CC supersteps pinned engine<->oracle
   val WEIGHTED_FIXTURE = "/root/repo/fixtures/weighted_adj.txt"
   val UNWEIGHTED_FIXTURE = "/root/repo/fixtures/unweighted_adj.txt"
   val BIPARTITE_FIXTURE = "/root/repo/fixtures/bipartite_adj.txt"
@@ -162,6 +164,19 @@ object SparkEntry {
       MM.matching(pregel(s), g.verts.select("vid"),
         graph.AdjacencyText.bipartite(g.undirected), MM_ITERS).orderBy("vid")
     }),
+    // k-core membership (peeling on the same kernel) — no reference
+    // analog; standard link-graph analytics a reference user would expect
+    "kcore" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      KCore.membership(pregel(s), g.verts.select("vid"), g.undirected, KC_K, KC_ITERS).orderBy("vid")
+    }),
+    // personalized PageRank (random walk with restart to one source) —
+    // the reference PageRank with a point teleport vector
+    "ppr" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      PersonalizedPageRank.scores(pregel(s), g.verts.select("vid"), g.prEdges,
+        SSSP_SOURCE, g.n, PR_ITERS).orderBy("vid")
+    }),
     "triangles" -> ((s, dir) => {
       val g = graphOf(s, dir)
       TriangleCount.perVertexAll(g.canonical, g.verts).orderBy("vid")
@@ -174,6 +189,10 @@ object SparkEntry {
     "text_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir), SH_BITS).orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), SH_BITS, SH_MAXHAM)),
     "dedup_ngram" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir), NG_N, NG_MINJ, NG_MAXDF)),
+    // composite: LSH pairs -> CC over the pair graph = per-doc duplicate
+    // cluster id (the pipeline+kernel integration a dedup pipeline ships)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(pregel(s), docs(s, dir), MH_K, MH_BANDS, MH_MINJ, DC_ITERS).orderBy("doc_id")),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir), EMB_MINCOS, LSH_TABLES, LSH_BITS, LSH_MAXBKT)),
     "ann_topk" -> ((s, dir) => Similarity.annTopK(emb(s, dir), ANN_K)),
@@ -221,6 +240,9 @@ object SparkEntry {
     "mis" -> Oracles.mis(MIS_ITERS),
     "mm" -> Oracles.mm(MM_ITERS),
     "sa" -> Oracles.sa(SA_SOURCE, SA_ITERS),
+    "kcore" -> Oracles.kcore(KC_K, KC_ITERS),
+    "ppr" -> Oracles.ppr(SSSP_SOURCE, PR_ITERS),
+    "dedup_clusters" -> Oracles.dedupClusters(MH_K, MH_BANDS, MH_MINJ, DC_ITERS),
     "triangles" -> Oracles.triangles,
     "triangle_count" -> Oracles.triangleCount,
     "dedup_exact" -> Dedup.exactSql,

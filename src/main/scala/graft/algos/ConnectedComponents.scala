@@ -63,7 +63,12 @@ object ConnectedComponents {
 
   /** Fixed-K unrolled min-label oracle; requires `vertices`,`uedges` CTEs.
    * K must be >= the propagation radius of the graph (asserted in tests). */
-  def oracleSql(k: Int): String = {
+  def oracleSql(k: Int): String =
+    oracleChainSql(k) + s"\nSELECT vid, lbl AS component FROM c$k ORDER BY vid"
+
+  /** The c1..cK CTE chain alone (no final SELECT) — for composites that
+   * relabel or join the converged component (e.g. dedup clustering). */
+  def oracleChainSql(k: Int): String = {
     val sb = new StringBuilder
     sb.append("c1 AS (SELECT vid, vid AS lbl FROM vertices)")
     for (t <- 2 to k) {
@@ -78,7 +83,6 @@ object ConnectedComponents {
         |  ) m ON m.dst = s.vid
         |)""".stripMargin)
     }
-    sb.append(s"\nSELECT vid, lbl AS component FROM c$k ORDER BY vid")
     sb.toString
   }
 }

@@ -131,22 +131,57 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  def minhashLshSql(k: Int = 16, bands: Int = 4, minJaccard: Double = 0.2): String =
-    s"""WITH $tokensSql,
+  /** CTE chain tokens -> shingles -> sigs -> cands -> sizes -> mhpairs
+   * (verified pairs with jaccard), shared by the pair query and the
+   * cluster composite. */
+  def minhashPairCtes(k: Int = 16, bands: Int = 4, minJaccard: Double = 0.2): String =
+    s"""$tokensSql,
        |${shinglesSql(2)},
        |${minhashSigsSql(k)},
        |${lshCandidatesSql(bands, k / bands)},
-       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)
-       |SELECT c.a, c.b,
-       |       CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) AS jaccard
-       |FROM cands c
-       |JOIN shingles xa ON xa.doc_id = c.a
-       |JOIN shingles xb ON xb.doc_id = c.b AND xa.sh = xb.sh
-       |JOIN sizes sa ON sa.doc_id = c.a
-       |JOIN sizes sb ON sb.doc_id = c.b
-       |GROUP BY c.a, c.b, sa.n, sb.n
-       |HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= $minJaccard
-       |ORDER BY c.a, c.b""".stripMargin
+       |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+       |mhpairs AS MATERIALIZED (
+       |  SELECT c.a, c.b,
+       |         CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) AS jaccard
+       |  FROM cands c
+       |  JOIN shingles xa ON xa.doc_id = c.a
+       |  JOIN shingles xb ON xb.doc_id = c.b AND xa.sh = xb.sh
+       |  JOIN sizes sa ON sa.doc_id = c.a
+       |  JOIN sizes sb ON sb.doc_id = c.b
+       |  GROUP BY c.a, c.b, sa.n, sb.n
+       |  HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= $minJaccard
+       |)""".stripMargin
+
+  def minhashLshSql(k: Int = 16, bands: Int = 4, minJaccard: Double = 0.2): String =
+    s"""WITH ${minhashPairCtes(k, bands, minJaccard)}
+       |SELECT a, b, jaccard FROM mhpairs ORDER BY a, b""".stripMargin
+
+  /** Duplicate-CLUSTER assignment — the composite every dedup pipeline
+   * actually ships: MinHash-LSH verified pairs form an undirected graph
+   * over doc_ids, connected components (the same Pregel kernel as the
+   * graph algorithms, pinned to `iters` supersteps) labels each document
+   * with min(doc_id) of its duplicate cluster; singletons label
+   * themselves. Keeping one doc per cluster is then a trivial
+   * groupBy(cluster).min(doc_id) the caller composes.
+   *
+   * Scale shape: the pair derivation is the bucketed LSH path (never
+   * all-pairs) and the clustering inherits the kernel's one-shuffle-per-
+   * superstep exchange — both pieces are the 100 TB-shaped variants. */
+  def clusters(pregel: graft.pregel.Pregel, docs: DataFrame,
+               k: Int = 16, bands: Int = 4, minJaccard: Double = 0.2,
+               iters: Int = 8): DataFrame = {
+    // same chain as minhashLsh WITHOUT its presentation orderBy — a sort
+    // on the pair relation would be a wasted exchange here
+    val sh = shingles(docs, 2)
+    val cands = lshCandidates(minhashSigs(sh, k), bands, k / bands)
+    val pairs = verifyJaccard(cands, sh)
+      .filter(col("jaccard") >= minJaccard).select("a", "b")
+    val verts = docs.select(col("doc_id").as("vid"))
+    val uedges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    graft.algos.ConnectedComponents.labels(pregel, verts, uedges, iters)
+      .select(col("vid").as("doc_id"), col("component").as("cluster"))
+  }
 
   /** SimHash (32-bit default; any width up to 63 — sum(2^j, j<63) stays
    * inside positive BIGINT in both engines, so 63 is the portable max):

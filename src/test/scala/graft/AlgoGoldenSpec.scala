@@ -87,4 +87,38 @@ class AlgoGoldenSpec extends SparkTestBase {
     val want = RefOracle.sssp((0L until 4L).toSeq, sym, 0L, 10).filter(_._2 < 1e299)
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("k-core: path cascade peels one endpoint layer per round") {
+    // path 0-1-2-3, k=2: endpoints die in the first peel round, the two
+    // middle vertices only in the SECOND (their degree drops when the
+    // endpoints stop responding) — the cascade the peel loop exists for
+    def sym(pairs: (Long, Long)*) = pairs.flatMap(p => Seq(p, p.swap))
+    val path = sym((0L,1L), (1L,2L), (2L,3L))
+    // after 2 update rounds (K=3 supersteps incl. init) everyone is dead
+    val full = KCore.membership(pregel(), vertDF(4), edgeDF(path), 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 0))
+    // after only 1 update round (K=2) the middle still looks alive —
+    // pinning the per-round semantics, not just the fixpoint
+    val mid = KCore.membership(pregel(), vertDF(4), edgeDF(path), 2, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(mid == Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 0))
+    // triangle + pendant, k=2: the triangle survives as the 2-core
+    val triPend = sym((0L,1L), (1L,2L), (2L,0L), (0L,3L))
+    val kc = KCore.membership(pregel(), vertDF(4), edgeDF(triPend), 2, 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kc == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 0))
+  }
+
+  test("personalized PageRank: all mass reachable from the source only") {
+    // two components: source's component holds all nonzero mass
+    val e = Seq((0L,1L), (1L,0L), (2L,3L), (3L,2L))
+    val got = PersonalizedPageRank.scores(pregel(), vertDF(4), edgeDF(e), 0L, 4L, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) == 0.0 && got(3L) == 0.0, s"unreachable mass must be 0: $got")
+    assert(got(0L) > got(1L) && got(1L) > 0.0, s"source-adjacent ordering: $got")
+    val want = RefOracle.ppr((0L until 4L).toSeq, e, 0L, 8)
+    for (v <- 0L until 4L)
+      assert(math.abs(got(v) - want(v) * 4) < 1e-6, s"PPR v=$v ${got(v)} vs ${want(v) * 4}")
+  }
 }

@@ -22,6 +22,31 @@ class PipelineSpec extends SparkTestBase {
     assert(out.forall(r => r.getDouble(2) >= 0.2 && r.getLong(0) < r.getLong(1)))
   }
 
+  test("dedup clusters: components of the pair graph labeled min doc_id; singletons self") {
+    val p = new graft.pregel.Pregel(spark,
+      graft.pregel.PregelConfig(numPartitions = 4, numBlocks = 8))
+    val cl = Dedup.clusters(p, docs, 16, 4, 0.2, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size == docs.count())
+    // independent union-find over the same verified pairs
+    val pairs = Dedup.minhashLsh(docs, 16, 4, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val px = parent.getOrElse(x, x)
+      if (px == x) x else { val r = find(px); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // root stays the min
+    }
+    val touched = pairs.flatMap(t => Seq(t._1, t._2)).toSet
+    for (d <- cl.keys) {
+      val want = if (touched(d)) find(d) else d
+      assert(cl(d) == want, s"doc $d: got ${cl(d)} want $want")
+    }
+  }
+
   test("simhash: near-identical docs collide, hamming is symmetric-free (a<b)") {
     val pairs = Dedup.simhashPairs(docs, 16, 3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1) && r.getLong(2) <= 3))

@@ -50,6 +50,18 @@ class RandomOracleSpec extends SparkTestBase {
       val tri = TriangleCount.perVertexAll(edgeDF(canon), verts)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(tri == RefOracle.triangles(vids, canon))
+
+      // k-core exact at fixed K (peel cascade included)
+      val kc = KCore.membership(p, verts, edgeDF(sym), 2, 6)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(kc == RefOracle.kcore(vids, sym, 2, 6))
+
+      // personalized PageRank — allclose 1e-6 on the scaled score
+      val pprGot = PersonalizedPageRank.scores(p, verts, edgeDF(withLoops), vids.head, n, 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val pprWant = RefOracle.ppr(vids, withLoops, vids.head, 8)
+      for (v <- vids)
+        assert(math.abs(pprGot(v) - pprWant(v) * n) < 1e-6, s"PPR v=$v ${pprGot(v)} vs ${pprWant(v) * n}")
     }
   }
 }

@@ -108,6 +108,36 @@ object RefOracle {
     vids.map(v => v -> counts(v)).toMap
   }
 
+  /** Fixed-K synchronous k-core peel (a1 = all alive; a_t = alive AND
+   * count of alive in-neighbors >= k). Symmetrized distinct edges. */
+  def kcore(vids: Seq[Long], edges: Seq[(Long, Long)], k: Int, iters: Int): Map[Long, Int] = {
+    var alive = vids.map(v => v -> true).toMap
+    for (_ <- 2 to iters) {
+      val next = vids.map { v =>
+        val d = edges.count { case (u, dst) => dst == v && alive(u) }
+        v -> (alive(v) && d >= k)
+      }.toMap
+      alive = next
+    }
+    vids.map(v => v -> (if (alive(v)) 1 else 0)).toMap
+  }
+
+  /** Personalized PageRank: PageRank with the teleport vector concentrated
+   * at `source`. Directed edges MUST already include dangling self-loops. */
+  def ppr(vids: Seq[Long], edges: Seq[(Long, Long)], source: Long, iters: Int): Map[Long, Double] = {
+    val adj = outAdj(edges)
+    val outdeg = adj.view.mapValues(_.size).toMap
+    def tele(v: Long): Double = if (v == source) 0.15 else 0.0
+    var value = vids.map(v => v -> tele(v)).toMap // superstep 1
+    for (_ <- 2 to iters) {
+      val stored = value.map { case (v, x) => v -> x / math.max(1, outdeg.getOrElse(v, 0)) }
+      val inbox = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (v <- vids; d <- adj.getOrElse(v, Nil)) inbox(d) += stored(v)
+      value = vids.map(v => v -> (tele(v) + 0.85 * inbox(v))).toMap
+    }
+    value
+  }
+
   /** Deterministic random graph: pure function of seed. */
   def randomGraph(n: Int, extraEdges: Int, seed: Long): (Seq[Long], Seq[(Long, Long)]) = {
     val rnd = new scala.util.Random(seed)
