@@ -590,9 +590,10 @@ object Bench {
     // near-dup scale path and is benched).
     val benchQueries = Seq(
       "pagerank", "cc", "lpa", "sssp", "mis", "mm", "sa", "triangles", "degrees", "edges",
+      "kcore", "ppr",
       "sssp_weighted", "cc_adjtext", "mm_adjtext",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "text_simhash",
-      "dedup_embedding", "ann_lsh", "ann_ivf",
+      "dedup_embedding", "ann_lsh", "ann_ivf", "dedup_clusters",
       "text_langid", "text_quality", "text_tokens", "text_fingerprint",
       "multimodal_meta", "multimodal_decode")
     st.canaryBefore = canary(spark)

@@ -86,6 +86,9 @@ object Oracles {
   def ppr(source: Long, iters: Int): String =
     withGraphChain(Seq(LinkGraph.prEdgesSql), PersonalizedPageRank.oracleSql(source, iters))
 
+  def hits(iters: Int): String =
+    withGraphChain(Nil, HITS.oracleSql(iters))
+
   /** Dedup-cluster composite: the MinHash-LSH pair chain feeds a
    * vertices/uedges pair over doc_ids, then the unrolled CC min-label
    * chain labels each document with its duplicate-cluster id. */

@@ -30,6 +30,7 @@ object SparkEntry {
   val SA_SOURCE = 2L // reference default source.vertex.id=2 (SABSP.java:52)
   val MM_ITERS = 25 // == 1 (mod 3): both engines stop on a phase boundary
   val KC_K = 3; val KC_ITERS = 8 // k-core peel rounds pinned engine<->oracle
+  val HITS_ITERS = 10 // power-iteration supersteps pinned engine<->oracle
   val DC_ITERS = 8 // dedup-cluster CC supersteps pinned engine<->oracle
   val WEIGHTED_FIXTURE = "/root/repo/fixtures/weighted_adj.txt"
   val UNWEIGHTED_FIXTURE = "/root/repo/fixtures/unweighted_adj.txt"
@@ -177,6 +178,12 @@ object SparkEntry {
       PersonalizedPageRank.scores(pregel(s), g.verts.select("vid"), g.prEdges,
         SSSP_SOURCE, g.n, PR_ITERS).orderBy("vid")
     }),
+    // HITS hubs & authorities — the other canonical link-analysis ranking;
+    // both directions ride one direction-tagged edge relation
+    "hits" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      HITS.scores(pregel(s), g.verts.select("vid"), g.dedges, g.n, HITS_ITERS).orderBy("vid")
+    }),
     "triangles" -> ((s, dir) => {
       val g = graphOf(s, dir)
       TriangleCount.perVertexAll(g.canonical, g.verts).orderBy("vid")
@@ -242,6 +249,7 @@ object SparkEntry {
     "sa" -> Oracles.sa(SA_SOURCE, SA_ITERS),
     "kcore" -> Oracles.kcore(KC_K, KC_ITERS),
     "ppr" -> Oracles.ppr(SSSP_SOURCE, PR_ITERS),
+    "hits" -> Oracles.hits(HITS_ITERS),
     "dedup_clusters" -> Oracles.dedupClusters(MH_K, MH_BANDS, MH_MINJ, DC_ITERS),
     "triangles" -> Oracles.triangles,
     "triangle_count" -> Oracles.triangleCount,

@@ -110,6 +110,26 @@ class AlgoGoldenSpec extends SparkTestBase {
     assert(kc == Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 0))
   }
 
+  test("HITS: star hub ranks highest hub score, leaves share authority") {
+    // directed star 0 -> {1,2,3}: vertex 0 is the pure hub (auth 0),
+    // leaves are pure authorities (hub 0)
+    val star = Seq((0L,1L), (0L,2L), (0L,3L))
+    val got = HITS.scores(pregel(), vertDF(4), edgeDF(star), 4L, 6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got(0L)._1 == 4.0 && got(0L)._2 == 0.0, s"hub vertex: $got")
+    for (v <- 1L to 3L)
+      assert(got(v)._1 == 0.0 && math.abs(got(v)._2 - 4.0/3) < 1e-6, s"leaf $v: $got")
+    // cross-check the general recurrence on a cycle-with-chord graph
+    val g = Seq((0L,1L), (1L,2L), (2L,0L), (0L,2L))
+    val got2 = HITS.scores(pregel(), vertDF(3), edgeDF(g), 3L, 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = RefOracle.hits((0L until 3L).toSeq, g, 8)
+    for (v <- 0L until 3L) {
+      assert(math.abs(got2(v)._1 - want(v)._1) < 1e-6, s"hub v=$v ${got2(v)} vs ${want(v)}")
+      assert(math.abs(got2(v)._2 - want(v)._2) < 1e-6, s"auth v=$v ${got2(v)} vs ${want(v)}")
+    }
+  }
+
   test("personalized PageRank: all mass reachable from the source only") {
     // two components: source's component holds all nonzero mass
     val e = Seq((0L,1L), (1L,0L), (2L,3L), (3L,2L))

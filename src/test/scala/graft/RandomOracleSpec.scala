@@ -56,6 +56,15 @@ class RandomOracleSpec extends SparkTestBase {
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(kc == RefOracle.kcore(vids, sym, 2, 6))
 
+      // HITS — allclose 1e-6 on the end-normalized scaled scores
+      val hitsGot = HITS.scores(p, verts, edgeDF(directed), n, 8)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val hitsWant = RefOracle.hits(vids, directed, 8)
+      for (v <- vids) {
+        assert(math.abs(hitsGot(v)._1 - hitsWant(v)._1) < 1e-6, s"HITS hub v=$v")
+        assert(math.abs(hitsGot(v)._2 - hitsWant(v)._2) < 1e-6, s"HITS auth v=$v")
+      }
+
       // personalized PageRank — allclose 1e-6 on the scaled score
       val pprGot = PersonalizedPageRank.scores(p, verts, edgeDF(withLoops), vids.head, n, 8)
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

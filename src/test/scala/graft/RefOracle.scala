@@ -138,6 +138,23 @@ object RefOracle {
     value
   }
 
+  /** HITS synchronous power iteration (simultaneous update from the
+   * previous values), end-normalized: value / global sum * N. Edges are
+   * deduplicated like the engine's taggedEdges. */
+  def hits(vids: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, (Double, Double)] = {
+    val e = edges.distinct
+    var hub = vids.map(v => v -> 1.0).toMap
+    var auth = hub
+    for (_ <- 2 to iters) {
+      val na = vids.map(v => v -> e.filter(_._2 == v).map(x => hub(x._1)).sum).toMap
+      val nh = vids.map(v => v -> e.filter(_._1 == v).map(x => auth(x._2)).sum).toMap
+      hub = nh; auth = na
+    }
+    val (sh, sa, n) = (hub.values.sum, auth.values.sum, vids.size.toDouble)
+    vids.map(v => v -> ((if (sh == 0) 0.0 else hub(v) / sh * n),
+                        (if (sa == 0) 0.0 else auth(v) / sa * n))).toMap
+  }
+
   /** Deterministic random graph: pure function of seed. */
   def randomGraph(n: Int, extraEdges: Int, seed: Long): (Seq[Long], Seq[(Long, Long)]) = {
     val rnd = new scala.util.Random(seed)
