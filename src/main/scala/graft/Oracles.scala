@@ -101,6 +101,15 @@ object Oracles {
          |${ConnectedComponents.oracleChainSql(iters)}
          |SELECT vid AS doc_id, lbl AS cluster FROM c$iters ORDER BY doc_id""".stripMargin)
 
+  /** Random-walk corpus: unrolled argmin-transition chain over predges. */
+  def walks(steps: Int): String =
+    withGraphChain(Seq(LinkGraph.prEdgesSql), RandomWalks.oracleSql(steps))
+
+  val clusteringCoeff: String = withGraph(
+    Seq(LinkGraph.undirectedSql, LinkGraph.canonicalSql,
+      TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),
+    ClusteringCoefficient.oracleBodySql)
+
   val triangles: String = withGraph(
     Seq(LinkGraph.canonicalSql, TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),
     """SELECT v.vid, coalesce(t.triangles, 0) AS triangles

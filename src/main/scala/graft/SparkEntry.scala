@@ -32,6 +32,7 @@ object SparkEntry {
   val KC_K = 3; val KC_ITERS = 8 // k-core peel rounds pinned engine<->oracle
   val HITS_ITERS = 10 // power-iteration supersteps pinned engine<->oracle
   val DC_ITERS = 8 // dedup-cluster CC supersteps pinned engine<->oracle
+  val WALK_STEPS = 6 // random-walk length pinned engine<->oracle
   val WEIGHTED_FIXTURE = "/root/repo/fixtures/weighted_adj.txt"
   val UNWEIGHTED_FIXTURE = "/root/repo/fixtures/unweighted_adj.txt"
   val BIPARTITE_FIXTURE = "/root/repo/fixtures/bipartite_adj.txt"
@@ -189,6 +190,20 @@ object SparkEntry {
       TriangleCount.perVertexAll(g.canonical, g.verts).orderBy("vid")
     }),
     "triangle_count" -> ((s, dir) => TriangleCount.global(graphOf(s, dir).canonical)),
+    // local clustering coefficient — composes the oriented triangle plan
+    // with the degree aggregate
+    "clustering_coeff" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      ClusteringCoefficient.local(g.canonical, g.undirected, g.verts).orderBy("vid")
+    }),
+    // deterministic random-walk corpus (DeepWalk-style) — the link-graph →
+    // embedding-training handoff; one length-WALK_STEPS walk per vertex
+    "walks" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      RandomWalks.walks(g.verts.select("vid"), g.prEdges, WALK_STEPS, p)
+        .orderBy("walk_id", "step")
+    }),
 
     // -------- training-data pipeline operators (documents/embeddings) ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir)).orderBy("doc_id")),
@@ -211,6 +226,10 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.quality(docs(s, dir))),
     "text_tokens" -> ((s, dir) => TextAnalysis.tokenCounts(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docs(s, dir))),
+    // corpus curation: deterministic per-source quota sample (data mixing)
+    // and global vocabulary top-K
+    "sample_stratified" -> ((s, dir) => pipeline.Sampling.stratified(docs(s, dir), SAMPLE_Q)),
+    "vocab_topk" -> ((s, dir) => pipeline.Sampling.vocabTopK(docs(s, dir), VOCAB_K).orderBy("rnk")),
     "multimodal_meta" -> ((s, dir) => Multimodal.meta(docs(s, dir))),
     // decode/feature-extract via mapPartitions with the deterministic fake
     // codec — gates the batch-transform plumbing, not just its spec
@@ -223,6 +242,7 @@ object SparkEntry {
   val NG_N = 3; val NG_MINJ = 0.8; val NG_MAXDF = 0.5
   val EMB_MINCOS = 0.2; val LSH_TABLES = 4; val LSH_BITS = 8; val LSH_MAXBKT = 10000
   val ANN_K = 5; val ANN_LSH_K = 3; val IVF_CELLS = 16; val IVF_PROBES = 2
+  val SAMPLE_Q = 10; val VOCAB_K = 100
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -253,6 +273,10 @@ object SparkEntry {
     "dedup_clusters" -> Oracles.dedupClusters(MH_K, MH_BANDS, MH_MINJ, DC_ITERS),
     "triangles" -> Oracles.triangles,
     "triangle_count" -> Oracles.triangleCount,
+    "clustering_coeff" -> Oracles.clusteringCoeff,
+    "walks" -> Oracles.walks(WALK_STEPS),
+    "sample_stratified" -> pipeline.Sampling.stratifiedSql(SAMPLE_Q),
+    "vocab_topk" -> pipeline.Sampling.vocabTopKSql(VOCAB_K),
     "dedup_exact" -> Dedup.exactSql,
     "dedup_minhash" -> Dedup.minhashLshSql(MH_K, MH_BANDS, MH_MINJ),
     "text_simhash" -> Dedup.simhashSql(SH_BITS),

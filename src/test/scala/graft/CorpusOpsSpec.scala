@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.algos.{RandomWalks, ClusteringCoefficient}
+import graft.graph.LinkGraph
+import graft.pipeline.Sampling
+
+/** Round-5 corpus/graph additions: deterministic random walks, local
+ * clustering coefficient, stratified quota sampling, vocabulary top-K. */
+class CorpusOpsSpec extends SparkTestBase {
+  import org.apache.spark.sql.DataFrame
+
+  private def docsDF(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  // diamond + tail: 0-1,0-2,1-3,2-3,3-4 (directed), vertex 5 dangling
+  private val dedges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+
+  test("walks: every transition follows a pr-edge; seeds are step 0") {
+    val verts = vertDF(6)
+    val pre = LinkGraph.withSelfLoops(edgeDF(dedges), verts)
+    val w = RandomWalks.walks(verts, pre, steps = 5, numPartitions = 4)
+    assert(w.count() === 6 * 6) // |V| * (steps+1)
+    assert(w.filter(col("step") === 0 && col("vid") =!= col("walk_id")).count() === 0)
+    // consecutive (cur, next) pairs must all be pr-edges
+    val cur = w.select(col("walk_id"), col("step"), col("vid").as("cur"))
+    val nxt = w.select(col("walk_id"), (col("step") - 1).as("step"), col("vid").as("nxt"))
+    val trans = cur.join(nxt, Seq("walk_id", "step"))
+    val bad = trans.join(pre, trans("cur") === pre("src") && trans("nxt") === pre("dst"),
+      "left_anti")
+    assert(bad.count() === 0)
+    // dangling vertex 5 got a self-loop: its walk never leaves it
+    assert(w.filter(col("walk_id") === 5L && col("vid") =!= 5L).count() === 0)
+  }
+
+  test("walks: result is invariant to the partition count") {
+    val verts = vertDF(6)
+    val pre = LinkGraph.withSelfLoops(edgeDF(dedges), verts)
+    def run(p: Int) = RandomWalks.walks(verts, pre, steps = 4, numPartitions = p)
+      .orderBy("walk_id", "step").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(2) === run(7))
+  }
+
+  test("walks: not all walks collapse to one path") {
+    val verts = vertDF(6)
+    val pre = LinkGraph.withSelfLoops(edgeDF(dedges), verts)
+    val w = RandomWalks.walks(verts, pre, steps = 5, numPartitions = 4)
+    // step-1 positions across walks are not a single vertex
+    assert(w.filter(col("step") === 1).select("vid").distinct().count() > 1)
+  }
+
+  test("clustering coefficient: triangle 1.0, 4-cycle 0.0, pendant 0.0") {
+    // triangle {0,1,2}; 4-cycle {3,4,5,6}; pendant 7 hanging off 0
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (3L, 6L), (0L, 7L))
+    val d = edgeDF(e)
+    val undirected = LinkGraph.symmetrize(d)
+    val canonical = LinkGraph.canonical(d)
+    val got = ClusteringCoefficient.local(canonical, undirected, vertDF(8))
+      .orderBy("vid").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // vertex 0 has deg 3 (1,2,7) and one triangle: 2*1/(3*2) = 1/3
+    assert(got(0L) === 0.333333)
+    assert(got(1L) === 1.0 && got(2L) === 1.0)
+    for (v <- 3L to 6L) assert(got(v) === 0.0)
+    assert(got(7L) === 0.0) // deg 1
+  }
+
+  test("stratified sample: salted two-level == naive one-level window") {
+    val docs = docsDF((0L until 97L).map(i =>
+      (i, s"text $i", s"s${i % 5}")) :+ (97L, "only", "solo"))
+    val q = 4
+    val got = Sampling.stratified(docs, q, salts = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val naive = docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= q)
+    assert(got.orderBy("doc_id").collect().toSeq ===
+      naive.orderBy("doc_id").collect().toSeq)
+    // quota respected; undersized strata return all their rows
+    val per = got.groupBy("source").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(per.forall { case (_, (n, mx)) => n <= q && mx === n })
+    assert(per("solo") === ((1L, 1L)))
+  }
+
+  test("vocab top-k: counts, tie-break, and k cut") {
+    val docs = docsDF(Seq(
+      (1L, "a b b c", "s"), (2L, "b c c a", "s"), (3L, "zz a", "s")))
+    // counts: a=3, b=3, c=3, zz=1
+    val got = Sampling.vocabTopK(docs, 3).orderBy("rnk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, "a", 3L), (2L, "b", 3L), (3L, "c", 3L)))
+  }
+}

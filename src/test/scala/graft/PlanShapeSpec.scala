@@ -11,7 +11,8 @@ class PlanShapeSpec extends SparkTestBase {
   private val forbidden = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
 
   for (q <- Seq("dedup_embedding", "dedup_simhash", "dedup_minhash",
-    "dedup_ngram", "ann_lsh", "ann_ivf", "triangles")) {
+    "dedup_ngram", "ann_lsh", "ann_ivf", "triangles",
+    "clustering_coeff", "sample_stratified", "vocab_topk")) {
     test(s"$q plans no all-pairs join") {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       for (bad <- forbidden)
