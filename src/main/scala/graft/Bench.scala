@@ -590,11 +590,12 @@ object Bench {
     // near-dup scale path and is benched).
     val benchQueries = Seq(
       "pagerank", "cc", "lpa", "sssp", "mis", "mm", "sa", "triangles", "degrees", "edges",
-      "kcore", "ppr", "hits",
+      "kcore", "ppr", "hits", "walks", "clustering_coeff",
       "sssp_weighted", "cc_adjtext", "mm_adjtext",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "text_simhash",
       "dedup_embedding", "ann_lsh", "ann_ivf", "dedup_clusters",
       "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+      "sample_stratified", "vocab_topk",
       "multimodal_meta", "multimodal_decode")
     st.canaryBefore = canary(spark)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
