@@ -105,6 +105,10 @@ object Oracles {
   def walks(steps: Int): String =
     withGraphChain(Seq(LinkGraph.prEdgesSql), RandomWalks.oracleSql(steps))
 
+  def walksBiased(steps: Int, wRet: Int, wIn: Int, wOut: Int): String =
+    withGraphChain(Seq(LinkGraph.prEdgesSql),
+      RandomWalks.biasedOracleSql(steps, wRet, wIn, wOut))
+
   val clusteringCoeff: String = withGraph(
     Seq(LinkGraph.undirectedSql, LinkGraph.canonicalSql,
       TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),

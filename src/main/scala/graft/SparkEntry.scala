@@ -33,6 +33,9 @@ object SparkEntry {
   val HITS_ITERS = 10 // power-iteration supersteps pinned engine<->oracle
   val DC_ITERS = 8 // dedup-cluster CC supersteps pinned engine<->oracle
   val WALK_STEPS = 6 // random-walk length pinned engine<->oracle
+  // node2vec biases pinned engine<->oracle: integer weights (return, in, out)
+  // ~ (1/p, 1, 1/q) scaled by 4 with p=4, q=2
+  val N2V_STEPS = 5; val N2V_RET = 1; val N2V_IN = 4; val N2V_OUT = 2
   val WEIGHTED_FIXTURE = "/root/repo/fixtures/weighted_adj.txt"
   val UNWEIGHTED_FIXTURE = "/root/repo/fixtures/unweighted_adj.txt"
   val BIPARTITE_FIXTURE = "/root/repo/fixtures/bipartite_adj.txt"
@@ -204,6 +207,14 @@ object SparkEntry {
       RandomWalks.walks(g.verts.select("vid"), g.prEdges, WALK_STEPS, p)
         .orderBy("walk_id", "step")
     }),
+    // node2vec second-order biased walks: exact integer-weight sampling
+    // (replica-argmin), uniform first hop
+    "walks_biased" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      RandomWalks.biasedWalks(g.verts.select("vid"), g.prEdges, N2V_STEPS,
+        N2V_RET, N2V_IN, N2V_OUT, p).orderBy("walk_id", "step")
+    }),
 
     // -------- training-data pipeline operators (documents/embeddings) ----
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir)).orderBy("doc_id")),
@@ -275,6 +286,7 @@ object SparkEntry {
     "triangle_count" -> Oracles.triangleCount,
     "clustering_coeff" -> Oracles.clusteringCoeff,
     "walks" -> Oracles.walks(WALK_STEPS),
+    "walks_biased" -> Oracles.walksBiased(N2V_STEPS, N2V_RET, N2V_IN, N2V_OUT),
     "sample_stratified" -> pipeline.Sampling.stratifiedSql(SAMPLE_Q),
     "vocab_topk" -> pipeline.Sampling.vocabTopKSql(VOCAB_K),
     "dedup_exact" -> Dedup.exactSql,

@@ -618,13 +618,13 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
   }
 }
 
-private[pregel] object Pregel {
+private[graft] object Pregel {
   /** Free the block-manager storage behind an eagerly localCheckpointed
    * DataFrame. `Dataset.unpersist` can't: the storage belongs to the
    * checkpoint's RDD, which never enters the CacheManager — it must be
    * unpersisted through the LogicalRDD the checkpoint produced. No-op for
    * any other plan shape. */
-  private[pregel] def unpersistCheckpointed(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpointed(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()

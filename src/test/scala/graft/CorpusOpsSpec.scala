@@ -51,6 +51,54 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(w.filter(col("step") === 1).select("vid").distinct().count() > 1)
   }
 
+  test("walks: transitions are not the degenerate min-neighbor choice") {
+    // star out of 0 to 1..9: every step from 0 chooses among 1..9; a
+    // monotone hash would always pick vertex 1 (the round-5 first-cut bug)
+    val star = (1L until 10L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val verts = vertDF(10)
+    val pre = LinkGraph.withSelfLoops(edgeDF(star), verts)
+    val w = RandomWalks.walks(verts, pre, steps = 8, numPartitions = 4)
+    // positions visited by walk 0 at odd steps (at a leaf) exclude 0 and
+    // must not all equal leaf 1
+    val leaves = w.filter(col("walk_id") === 0L && col("step") % 2 === 1)
+      .select("vid").distinct().collect().map(_.getLong(0)).toSet
+    assert(leaves.size > 1, s"degenerate min-neighbor walk: $leaves")
+  }
+
+  test("biased walks: transitions follow edges; partition-count invariant") {
+    val verts = vertDF(6)
+    val pre = LinkGraph.withSelfLoops(edgeDF(dedges), verts)
+    def run(p: Int) = RandomWalks.biasedWalks(verts, pre, steps = 4,
+      wRet = 1, wIn = 4, wOut = 2, numPartitions = p)
+    val w = run(4)
+    assert(w.count() === 6 * 5)
+    val cur = w.select(col("walk_id"), col("step"), col("vid").as("cur"))
+    val nxt = w.select(col("walk_id"), (col("step") - 1).as("step"), col("vid").as("nxt"))
+    val bad = cur.join(nxt, Seq("walk_id", "step"))
+      .join(pre, col("cur") === pre("src") && col("nxt") === pre("dst"), "left_anti")
+    assert(bad.count() === 0)
+    def rows(p: Int) = run(p).orderBy("walk_id", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows(2) === rows(7))
+  }
+
+  test("biased walks: a large return weight makes walks backtrack more") {
+    // undirected 8-cycle: every inner position has exactly {prev, next}
+    // as candidates, so the return weight directly controls backtracking
+    val cyc = (0L until 8L).map(i => (i, (i + 1) % 8))
+    val verts = vertDF(8)
+    val pre = LinkGraph.withSelfLoops(LinkGraph.symmetrize(edgeDF(cyc)), verts)
+    def backtracks(wRet: Int): Long = {
+      val w = RandomWalks.biasedWalks(verts, pre, steps = 4,
+        wRet = wRet, wIn = 1, wOut = 1, numPartitions = 4)
+      // position at step t+2 equals position at step t => one backtrack
+      val a = w.select(col("walk_id"), col("step"), col("vid").as("a"))
+      val b = w.select(col("walk_id"), (col("step") - 2).as("step"), col("vid").as("b"))
+      a.join(b, Seq("walk_id", "step")).filter(col("a") === col("b")).count()
+    }
+    assert(backtracks(60) > backtracks(1))
+  }
+
   test("clustering coefficient: triangle 1.0, 4-cycle 0.0, pendant 0.0") {
     // triangle {0,1,2}; 4-cycle {3,4,5,6}; pendant 7 hanging off 0
     val e = Seq((0L, 1L), (1L, 2L), (0L, 2L),
