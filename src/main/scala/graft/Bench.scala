@@ -37,7 +37,7 @@ import graft.algos.{PageRank, ConnectedComponents}
  *     target/bench_last.json, and a JVM shutdown hook prints the latest
  *     snapshot to stdout if the normal end-of-run print never happened —
  *     a kill now degrades to "fewer phases", never to "nothing".
- *  b. WALL-CLOCK BUDGET (env SPARK_GRAFT_TIME_BUDGET_S, default 2400s):
+ *  b. WALL-CLOCK BUDGET (env SPARK_GRAFT_TIME_BUDGET_S, default 2700s):
  *     scaling pairs beyond the mandatory two are only added while the
  *     measured per-pair cost plus a reserve for the mandatory later
  *     phases (gauntlet + skew) fits the remaining budget; the optional
