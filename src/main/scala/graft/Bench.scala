@@ -590,7 +590,8 @@ object Bench {
     // near-dup scale path and is benched).
     val benchQueries = Seq(
       "pagerank", "cc", "lpa", "sssp", "mis", "mm", "sa", "triangles", "degrees", "edges",
-      "kcore", "ppr", "hits", "walks", "walks_biased", "clustering_coeff",
+      "kcore", "ppr", "hits", "walks", "walks_biased", "skipgram_pairs", "clustering_coeff",
+      "edge_features",
       "sssp_weighted", "cc_adjtext", "mm_adjtext",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "text_simhash",
       "dedup_embedding", "ann_lsh", "ann_ivf", "dedup_clusters",

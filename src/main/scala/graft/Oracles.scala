@@ -109,10 +109,20 @@ object Oracles {
     withGraphChain(Seq(LinkGraph.prEdgesSql),
       RandomWalks.biasedOracleSql(steps, wRet, wIn, wOut))
 
+  /** Skip-gram (center, context) pairs over the walk corpus. */
+  def skipgramPairs(steps: Int, window: Int): String =
+    withGraphChain(Seq(LinkGraph.prEdgesSql),
+      RandomWalks.skipGramOracleSql(steps, window))
+
   val clusteringCoeff: String = withGraph(
     Seq(LinkGraph.undirectedSql, LinkGraph.canonicalSql,
       TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),
     ClusteringCoefficient.oracleBodySql)
+
+  /** Per-edge link-prediction features (common/Jaccard/Adamic–Adar). */
+  val edgeFeatures: String = withGraphChain(
+    Seq(LinkGraph.undirectedSql, LinkGraph.canonicalSql),
+    LinkFeatures.oracleBodySql)
 
   val triangles: String = withGraph(
     Seq(LinkGraph.canonicalSql, TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),

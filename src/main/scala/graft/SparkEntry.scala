@@ -36,6 +36,7 @@ object SparkEntry {
   // node2vec biases pinned engine<->oracle: integer weights (return, in, out)
   // ~ (1/p, 1, 1/q) scaled by 4 with p=4, q=2
   val N2V_STEPS = 5; val N2V_RET = 1; val N2V_IN = 4; val N2V_OUT = 2
+  val SG_WINDOW = 2 // skip-gram context window pinned engine<->oracle
   val WEIGHTED_FIXTURE = "/root/repo/fixtures/weighted_adj.txt"
   val UNWEIGHTED_FIXTURE = "/root/repo/fixtures/unweighted_adj.txt"
   val BIPARTITE_FIXTURE = "/root/repo/fixtures/bipartite_adj.txt"
@@ -199,6 +200,12 @@ object SparkEntry {
       val g = graphOf(s, dir)
       ClusteringCoefficient.local(g.canonical, g.undirected, g.verts).orderBy("vid")
     }),
+    // per-edge link-prediction features: common neighbors, Jaccard,
+    // Adamic-Adar (degree-oriented wedge enumeration, O(m^1.5) bound)
+    "edge_features" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      LinkFeatures.edgeFeatures(g.canonical, g.undirected).orderBy("src", "dst")
+    }),
     // deterministic random-walk corpus (DeepWalk-style) — the link-graph →
     // embedding-training handoff; one length-WALK_STEPS walk per vertex
     "walks" -> ((s, dir) => {
@@ -214,6 +221,14 @@ object SparkEntry {
       val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
       RandomWalks.biasedWalks(g.verts.select("vid"), g.prEdges, N2V_STEPS,
         N2V_RET, N2V_IN, N2V_OUT, p).orderBy("walk_id", "step")
+    }),
+    // skip-gram (center, context) training pairs over the walk corpus —
+    // one window pass, no corpus self-join
+    "skipgram_pairs" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val corpus = RandomWalks.walks(g.verts.select("vid"), g.prEdges, WALK_STEPS, p)
+      RandomWalks.skipGramPairs(corpus, SG_WINDOW).orderBy("walk_id", "step", "off")
     }),
 
     // -------- training-data pipeline operators (documents/embeddings) ----
@@ -287,6 +302,8 @@ object SparkEntry {
     "clustering_coeff" -> Oracles.clusteringCoeff,
     "walks" -> Oracles.walks(WALK_STEPS),
     "walks_biased" -> Oracles.walksBiased(N2V_STEPS, N2V_RET, N2V_IN, N2V_OUT),
+    "skipgram_pairs" -> Oracles.skipgramPairs(WALK_STEPS, SG_WINDOW),
+    "edge_features" -> Oracles.edgeFeatures,
     "sample_stratified" -> pipeline.Sampling.stratifiedSql(SAMPLE_Q),
     "vocab_topk" -> pipeline.Sampling.vocabTopKSql(VOCAB_K),
     "dedup_exact" -> Dedup.exactSql,

@@ -181,10 +181,38 @@ object RandomWalks {
     sb.toString
   }
 
-  /** Unrolled oracle chain + final SELECT; requires `vertices`,`predges`
-   * CTEs. Mirrors the mix arithmetic exactly (all BIGINT, mod before
-   * multiply keeps every intermediate < 2^63). */
-  def oracleSql(steps: Int): String = {
+  /**
+   * Skip-gram training pairs over a walk corpus (the op that closes the
+   * walks → embedding-training loop): for every walk position, emit
+   * (center, context) for all contexts within `window` steps, tagged with
+   * the signed offset. word2vec/DeepWalk's pair generation, expressed as
+   * ONE window pass partitioned by walk_id (a single shuffle) + 2·window
+   * codegen projections unioned — no self-join of the corpus against
+   * itself, so there is no DeduplicateRelations hazard and no second
+   * exchange; output rows stream at O(|walks| · len · window) with the
+   * window shuffle reused across every branch (ReuseExchange).
+   */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("walk_id").orderBy("step")
+    val base = walks.select(Seq(col("walk_id"), col("step"), col("vid")) ++
+      (1 to window).map(k => lead(col("vid"), k).over(w).as(s"_l$k")): _*)
+    val parts = (1 to window).flatMap { k =>
+      val fwd = base.filter(col(s"_l$k").isNotNull)
+        .select(col("walk_id"), col("step"), lit(k.toLong).as("off"),
+          col("vid").as("center"), col(s"_l$k").as("context"))
+      val bwd = base.filter(col(s"_l$k").isNotNull)
+        .select(col("walk_id"), (col("step") + k).as("step"), lit(-k.toLong).as("off"),
+          col(s"_l$k").as("center"), col("vid").as("context"))
+      Seq(fwd, bwd)
+    }
+    parts.reduce(_.unionByName(_))
+  }
+
+  /** w0..wN chain + long-form corpus CTE `walkcorpus(walk_id, step, vid)`;
+   * requires `vertices`,`predges` CTEs. Mirrors the mix arithmetic exactly
+   * (all BIGINT; mod before multiply keeps every intermediate < 2^63). */
+  def corpusChainSql(steps: Int): String = {
     val sb = new StringBuilder
     sb.append("w0 AS (SELECT vid AS walk_id, vid AS pos FROM vertices)")
     for (t <- 1 to steps) {
@@ -200,7 +228,28 @@ object RandomWalks {
     }
     val union = (0 to steps).map(t =>
       s"SELECT walk_id, CAST($t AS BIGINT) AS step, pos AS vid FROM w$t").mkString("\nUNION ALL ")
-    sb.append("\n" + union + "\nORDER BY walk_id, step")
+    sb.append(",\nwalkcorpus AS (\n" + union + "\n)")
     sb.toString
+  }
+
+  /** Unrolled oracle chain + final SELECT for [[walks]]. */
+  def oracleSql(steps: Int): String =
+    corpusChainSql(steps) +
+      "\nSELECT walk_id, step, vid FROM walkcorpus ORDER BY walk_id, step"
+
+  /** Oracle for [[skipGramPairs]] over the [[walks]] corpus: the same
+   * lead()-window construction in ANSI SQL. */
+  def skipGramOracleSql(steps: Int, window: Int): String = {
+    val leads = (1 to window).map(k =>
+      s"lead(vid, $k) OVER (PARTITION BY walk_id ORDER BY step) AS _l$k").mkString(", ")
+    val fwd = (1 to window).map(k =>
+      s"SELECT walk_id, step, CAST($k AS BIGINT) AS off, vid AS center, _l$k AS context FROM sgw WHERE _l$k IS NOT NULL")
+    val bwd = (1 to window).map(k =>
+      s"SELECT walk_id, step + $k AS step, CAST(-$k AS BIGINT) AS off, _l$k AS center, vid AS context FROM sgw WHERE _l$k IS NOT NULL")
+    corpusChainSql(steps) +
+      s""",
+         |sgw AS (SELECT walk_id, step, vid, $leads FROM walkcorpus)
+         |${(fwd ++ bwd).mkString("\nUNION ALL ")}
+         |ORDER BY walk_id, step, off""".stripMargin
   }
 }

@@ -99,6 +99,57 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(backtracks(60) > backtracks(1))
   }
 
+  test("skip-gram pairs: exact pairs for a hand-built corpus") {
+    import spark.implicits._
+    // one walk 0 visiting 5,6,7,8 and one walk 1 visiting 9,9
+    val corpus = Seq(
+      (0L, 0L, 5L), (0L, 1L, 6L), (0L, 2L, 7L), (0L, 3L, 8L),
+      (1L, 0L, 9L), (1L, 1L, 9L)).toDF("walk_id", "step", "vid")
+    val got = RandomWalks.skipGramPairs(corpus, window = 2)
+      .select("walk_id", "step", "off", "center", "context")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val expect = Set(
+      // walk 0 forward (+1, +2)
+      (0L, 0L, 1L, 5L, 6L), (0L, 1L, 1L, 6L, 7L), (0L, 2L, 1L, 7L, 8L),
+      (0L, 0L, 2L, 5L, 7L), (0L, 1L, 2L, 6L, 8L),
+      // walk 0 backward (-1, -2)
+      (0L, 1L, -1L, 6L, 5L), (0L, 2L, -1L, 7L, 6L), (0L, 3L, -1L, 8L, 7L),
+      (0L, 2L, -2L, 7L, 5L), (0L, 3L, -2L, 8L, 6L),
+      // walk 1 (length 2): only the +-1 pair
+      (1L, 0L, 1L, 9L, 9L), (1L, 1L, -1L, 9L, 9L))
+    assert(got === expect)
+  }
+
+  test("skip-gram pairs: symmetric — every (c, x, +k) has its (x, c, -k) mirror") {
+    val verts = vertDF(6)
+    val pre = LinkGraph.withSelfLoops(edgeDF(dedges), verts)
+    val corpus = RandomWalks.walks(verts, pre, steps = 5, numPartitions = 4)
+    val sg = RandomWalks.skipGramPairs(corpus, window = 2)
+    val fwd = sg.filter(col("off") > 0)
+      .select(col("walk_id"), (col("step") + col("off")).as("step"),
+        (-col("off")).as("off"), col("context").as("center"), col("center").as("context"))
+    val bwd = sg.filter(col("off") < 0)
+    assert(fwd.count() === bwd.count())
+    assert(fwd.exceptAll(bwd).count() === 0)
+  }
+
+  test("edge features: common neighbors, jaccard, adamic-adar by hand") {
+    // triangle {0,1,2} + pendant 3 on 0
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L))
+    val und = LinkGraph.symmetrize(edgeDF(e))
+    val can = LinkGraph.canonical(edgeDF(e))
+    val got = graft.algos.LinkFeatures.edgeFeatures(can, und)
+      .orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toSeq
+    val lg2 = math.round(1e6 / math.log(2.0)) / 1e6 // 1.442695
+    val lg3 = math.round(1e6 / math.log(3.0)) / 1e6 // 0.910239
+    assert(got === Seq(
+      (0L, 1L, 1L, 0.25, lg2),
+      (0L, 2L, 1L, 0.25, lg2),
+      (0L, 3L, 0L, 0.0, 0.0),
+      (1L, 2L, 1L, 0.333333, lg3)))
+  }
+
   test("clustering coefficient: triangle 1.0, 4-cycle 0.0, pendant 0.0") {
     // triangle {0,1,2}; 4-cycle {3,4,5,6}; pendant 7 hanging off 0
     val e = Seq((0L, 1L), (1L, 2L), (0L, 2L),

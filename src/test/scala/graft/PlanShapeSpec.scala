@@ -12,7 +12,8 @@ class PlanShapeSpec extends SparkTestBase {
 
   for (q <- Seq("dedup_embedding", "dedup_simhash", "dedup_minhash",
     "dedup_ngram", "ann_lsh", "ann_ivf", "triangles",
-    "clustering_coeff", "sample_stratified", "vocab_topk")) {
+    "clustering_coeff", "sample_stratified", "vocab_topk", "skipgram_pairs",
+    "edge_features")) {
     test(s"$q plans no all-pairs join") {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       for (bad <- forbidden)
