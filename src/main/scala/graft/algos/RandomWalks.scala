@@ -186,27 +186,32 @@ object RandomWalks {
    * walks → embedding-training loop): for every walk position, emit
    * (center, context) for all contexts within `window` steps, tagged with
    * the signed offset. word2vec/DeepWalk's pair generation, expressed as
-   * ONE window pass partitioned by walk_id (a single shuffle) + 2·window
-   * codegen projections unioned — no self-join of the corpus against
-   * itself, so there is no DeduplicateRelations hazard and no second
-   * exchange; output rows stream at O(|walks| · len · window) with the
-   * window shuffle reused across every branch (ReuseExchange).
+   * ONE window pass partitioned by walk_id (a single shuffle + sort) and
+   * ONE explode of the 2·window per-position entries — no self-join of
+   * the corpus against itself (no DeduplicateRelations hazard, no second
+   * exchange), and no union of per-offset branches (a first cut unioned
+   * 2·window projections over the windowed relation, which re-ran the
+   * sort + WindowExec per branch: 18.6 s warm at sf0.1). Output rows
+   * stream at O(|walks| · len · window).
    */
   def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("walk_id").orderBy("step")
     val base = walks.select(Seq(col("walk_id"), col("step"), col("vid")) ++
       (1 to window).map(k => lead(col("vid"), k).over(w).as(s"_l$k")): _*)
-    val parts = (1 to window).flatMap { k =>
-      val fwd = base.filter(col(s"_l$k").isNotNull)
-        .select(col("walk_id"), col("step"), lit(k.toLong).as("off"),
-          col("vid").as("center"), col(s"_l$k").as("context"))
-      val bwd = base.filter(col(s"_l$k").isNotNull)
-        .select(col("walk_id"), (col("step") + k).as("step"), lit(-k.toLong).as("off"),
-          col(s"_l$k").as("center"), col("vid").as("context"))
-      Seq(fwd, bwd)
+    // forward entry at the position itself, backward entry mirrored onto
+    // the context's position — a null lead = past the walk tail, dropped
+    val entries = (1 to window).flatMap { k =>
+      Seq(
+        struct(col("step").as("step"), lit(k.toLong).as("off"),
+          col("vid").as("center"), col(s"_l$k").as("context")),
+        struct((col("step") + k).as("step"), lit(-k.toLong).as("off"),
+          col(s"_l$k").as("center"), col("vid").as("context")))
     }
-    parts.reduce(_.unionByName(_))
+    base.select(col("walk_id"), explode(array(entries: _*)).as("p"))
+      .filter(col("p.center").isNotNull && col("p.context").isNotNull)
+      .select(col("walk_id"), col("p.step").as("step"), col("p.off").as("off"),
+        col("p.center").as("center"), col("p.context").as("context"))
   }
 
   /** w0..wN chain + long-form corpus CTE `walkcorpus(walk_id, step, vid)`;
