@@ -591,7 +591,7 @@ object Bench {
     val benchQueries = Seq(
       "pagerank", "cc", "lpa", "sssp", "mis", "mm", "sa", "triangles", "degrees", "edges",
       "kcore", "ppr", "hits", "walks", "walks_biased", "skipgram_pairs", "clustering_coeff",
-      "edge_features",
+      "edge_features", "betweenness",
       "sssp_weighted", "cc_adjtext", "mm_adjtext",
       "dedup_exact", "dedup_minhash", "dedup_simhash", "text_simhash",
       "dedup_embedding", "ann_lsh", "ann_ivf", "dedup_clusters",

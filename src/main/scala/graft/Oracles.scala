@@ -124,6 +124,11 @@ object Oracles {
     Seq(LinkGraph.undirectedSql, LinkGraph.canonicalSql),
     LinkFeatures.oracleBodySql)
 
+  /** k-source truncated Brandes betweenness. */
+  def betweenness(seeds: Seq[Long], levels: Int): String =
+    withGraphChain(Seq(LinkGraph.undirectedSql),
+      Betweenness.oracleSql(seeds, levels))
+
   val triangles: String = withGraph(
     Seq(LinkGraph.canonicalSql, TriangleCount.trisCteSql, TriangleCount.tcountsCteSql),
     """SELECT v.vid, coalesce(t.triangles, 0) AS triangles

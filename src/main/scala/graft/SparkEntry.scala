@@ -37,6 +37,8 @@ object SparkEntry {
   // ~ (1/p, 1, 1/q) scaled by 4 with p=4, q=2
   val N2V_STEPS = 5; val N2V_RET = 1; val N2V_IN = 4; val N2V_OUT = 2
   val SG_WINDOW = 2 // skip-gram context window pinned engine<->oracle
+  // truncated-Brandes betweenness: seed sample + BFS depth pinned both engines
+  val BC_SEEDS: Seq[Long] = Seq(0L, 1L, 2L); val BC_LEVELS = 4
   val WEIGHTED_FIXTURE = "/root/repo/fixtures/weighted_adj.txt"
   val UNWEIGHTED_FIXTURE = "/root/repo/fixtures/unweighted_adj.txt"
   val BIPARTITE_FIXTURE = "/root/repo/fixtures/bipartite_adj.txt"
@@ -206,6 +208,13 @@ object SparkEntry {
       val g = graphOf(s, dir)
       LinkFeatures.edgeFeatures(g.canonical, g.undirected).orderBy("src", "dst")
     }),
+    // k-source truncated Brandes betweenness (sampled-source estimator)
+    "betweenness" -> ((s, dir) => {
+      val g = graphOf(s, dir)
+      val p = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      Betweenness.truncated(g.verts.select("vid"), g.undirected,
+        BC_SEEDS, BC_LEVELS, p).orderBy("vid")
+    }),
     // deterministic random-walk corpus (DeepWalk-style) — the link-graph →
     // embedding-training handoff; one length-WALK_STEPS walk per vertex
     "walks" -> ((s, dir) => {
@@ -304,6 +313,7 @@ object SparkEntry {
     "walks_biased" -> Oracles.walksBiased(N2V_STEPS, N2V_RET, N2V_IN, N2V_OUT),
     "skipgram_pairs" -> Oracles.skipgramPairs(WALK_STEPS, SG_WINDOW),
     "edge_features" -> Oracles.edgeFeatures,
+    "betweenness" -> Oracles.betweenness(BC_SEEDS, BC_LEVELS),
     "sample_stratified" -> pipeline.Sampling.stratifiedSql(SAMPLE_Q),
     "vocab_topk" -> pipeline.Sampling.vocabTopKSql(VOCAB_K),
     "dedup_exact" -> Dedup.exactSql,

@@ -150,6 +150,22 @@ class CorpusOpsSpec extends SparkTestBase {
       (1L, 2L, 1L, 0.333333, lg3)))
   }
 
+  test("betweenness: path graph matches the closed form") {
+    // path 0-1-2-3-4, seed 0, depth 4: delta(v) = #descendants on the path
+    val und = LinkGraph.symmetrize(edgeDF(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))))
+    val got = graft.algos.Betweenness.truncated(vertDF(5), und, Seq(0L), 4, 4)
+      .orderBy("vid").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((0L, 0.0), (1L, 3.0), (2L, 2.0), (3L, 1.0), (4L, 0.0)))
+  }
+
+  test("betweenness: diamond splits the dependency between the two middles") {
+    // 0-1, 0-2, 1-3, 2-3: two shortest paths 0->3, each middle carries 1/2
+    val und = LinkGraph.symmetrize(edgeDF(Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))))
+    val got = graft.algos.Betweenness.truncated(vertDF(4), und, Seq(0L), 2, 4)
+      .orderBy("vid").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((0L, 0.0), (1L, 0.5), (2L, 0.5), (3L, 0.0)))
+  }
+
   test("clustering coefficient: triangle 1.0, 4-cycle 0.0, pendant 0.0") {
     // triangle {0,1,2}; 4-cycle {3,4,5,6}; pendant 7 hanging off 0
     val e = Seq((0L, 1L), (1L, 2L), (0L, 2L),

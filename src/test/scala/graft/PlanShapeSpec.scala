@@ -13,7 +13,7 @@ class PlanShapeSpec extends SparkTestBase {
   for (q <- Seq("dedup_embedding", "dedup_simhash", "dedup_minhash",
     "dedup_ngram", "ann_lsh", "ann_ivf", "triangles",
     "clustering_coeff", "sample_stratified", "vocab_topk", "skipgram_pairs",
-    "edge_features")) {
+    "edge_features", "betweenness")) {
     test(s"$q plans no all-pairs join") {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       for (bad <- forbidden)
