@@ -14,7 +14,8 @@ object SkewProbe {
   def main(args: Array[String]): Unit = {
     val convs = if (args.nonEmpty) args(0).toLong else 150000L
     val iters = if (args.length > 1) args(1).toInt else 8
-    val s = Bench.session(16, 32, aqe = false)
+    val cores = if (args.length > 2) args(2).toInt else 16
+    val s = Bench.session(cores, 32, aqe = false)
     val t = Transcripts.synthetic(s, convs, 12, seed = 7L)
     val v = LinkGraph.vertices(t).select("vid", "turns", "turn_idx", "tool", "conv_id").cache()
     val base = LinkGraph.symmetrize(LinkGraph.directedEdges(v))
@@ -24,13 +25,22 @@ object SkewProbe {
       .unionByName(star.select(col("dst").as("src"), col("src").as("dst"))).cache()
     println("[skew] edges=" + sym.count() +
       " maxdeg=" + sym.groupBy("src").count().agg(max("count")).head().getLong(0))
-    for (salt <- Seq(0L, 1L << 16)) {
+    // mirror the Bench skew protocol: untimed in-session warm-up, then
+    // interleaved off/on x2 with per-variant min
+    new Pregel(s, PregelConfig(numPartitions = 32, mode = Hybrid))
+      .run(new LabelPropagation(8), v.select("vid"), sym)
+    def run(salt: Long): Double = {
       val t0 = System.nanoTime()
       val (_, m) = new Pregel(s, PregelConfig(numPartitions = 32, mode = Hybrid, saltMinDeg = salt))
         .run(new LabelPropagation(iters), v.select("vid"), sym)
-      println(f"[skew] salt=$salt total=${(System.nanoTime() - t0) / 1e9}%.1f " +
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[skew] salt=$salt total=$secs%.1f " +
         "wallMs=" + m.map(x => s"${x.wallMs}(${x.style})").mkString(","))
+      secs
     }
+    val off0 = run(0L); val on0 = run(1L << 16)
+    val off1 = run(0L); val on1 = run(1L << 16)
+    println(f"[skew] MIN unsalted=${math.min(off0, off1)}%.1f salted=${math.min(on0, on1)}%.1f")
     s.stop()
   }
 }
