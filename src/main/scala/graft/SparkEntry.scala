@@ -53,11 +53,16 @@ object SparkEntry {
       fusedSupersteps = 4))
   }
 
-  /** Derivation bundle reused by the graph queries. */
+  /** Derivation bundle reused by the graph queries. The three derived edge
+   * relations are cached like `verts`: six queries share `undirected` and
+   * four share `prEdges`, and re-deriving the symmetrize/distinct chain per
+   * query cost ~1-2s each at sf0.1 (r6 measurement). First use pays the
+   * derivation inside its own timing; later queries reuse the cache —
+   * the same session-shared-input discipline as the vertex cache. */
   final case class G(verts: DataFrame, dedges: DataFrame, n: Long) {
-    lazy val undirected: DataFrame = LinkGraph.symmetrize(dedges)
-    lazy val prEdges: DataFrame = LinkGraph.withSelfLoops(dedges, verts)
-    lazy val canonical: DataFrame = LinkGraph.canonical(dedges)
+    lazy val undirected: DataFrame = LinkGraph.symmetrize(dedges).cache()
+    lazy val prEdges: DataFrame = LinkGraph.withSelfLoops(dedges, verts).cache()
+    lazy val canonical: DataFrame = LinkGraph.canonical(dedges).cache()
   }
 
   // One derived graph per (session, dir): every algorithm query over the

@@ -2,6 +2,7 @@ package graft.pregel
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.PartitionedCheckpoint.localCheckpointHashed
 import org.apache.spark.storage.StorageLevel
 
 /** One superstep's telemetry — the Spark analog of the reference's
@@ -70,7 +71,19 @@ case class PregelConfig(
     deltaThreshold: Double = 0.3,
     /** Overlays accumulated before compacting back to a full base state
      * (compaction = one full-update superstep). */
-    maxOverlays: Int = 4)
+    maxOverlays: Int = 4,
+    /** Superstep fusing only engages at or above this edge count: below it
+     * the per-barrier fixed cost being amortized is smaller than the
+     * fused plan's own optimization/codegen overhead (measured r6). */
+    fuseMinEdges: Long = 1L << 20,
+    /** Scale-adaptive partitioning (guide §2): the effective partition
+     * count is min(numPartitions, ceil(edges / targetEdgesPerPartition))
+     * so a small graph doesn't pay numPartitions tasks per stage per
+     * superstep (25-superstep fixture runs were ~90% task-launch
+     * overhead at 32 partitions). numPartitions stays the cap — on a
+     * cluster it is sized to cores/executors and big graphs use all of
+     * it. <= 0 disables adaptivity (always numPartitions). */
+    targetEdgesPerPartition: Long = 32768L)
 
 /**
  * The superstep kernel — Spark-native analog of the reference's BSP driver
@@ -112,7 +125,6 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
    *  @param edges    (src: long, dst: long [, weight: double]) directed
    *  @return (final state, per-superstep metrics) */
   def run(program: VertexProgram, vertices: DataFrame, edges: DataFrame): (DataFrame, Seq[SuperstepMetrics]) = {
-    val p = cfg.numPartitions
     // Stage the input edges once: both the degree aggregation and the CSR
     // packing read them, and the caller usually hands us a lazy derivation
     // (symmetrize/self-loops over the transcript graph) that would
@@ -121,7 +133,13 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     val setupT0 = System.nanoTime()
     def setupMark(tag: String): Unit = if (sys.env.contains("GRAFT_PHASES"))
       println(f"[setup] $tag at ${(System.nanoTime() - setupT0) / 1e9}%.2fs")
-    val ec = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    // If the caller already cached the edge relation (e.g. a shared
+    // derivation bundle reused across queries), don't re-persist it here —
+    // and, more importantly, don't unpersist it at the end: evicting a
+    // caller's cache would silently re-derive the relation for the next
+    // query that shares it.
+    val callerCached = edges.storageLevel != StorageLevel.NONE
+    val ec = if (callerCached) edges else edges.persist(StorageLevel.MEMORY_AND_DISK)
     // per-source out-degree + dst bounds in ONE aggregation: the degree
     // relation, the global degree stats, AND the L5 per-block stats all
     // derive from this single |E| pass (block aggregates roll up from the
@@ -138,7 +156,8 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       val emptyState = program.initState(
         vertices.join(deg.select("vid", "outdeg"), Seq("vid"), "left_outer")
           .withColumn("outdeg", coalesce(col("outdeg"), lit(0L))))
-      ec.unpersist(blocking = false); deg.unpersist(blocking = false)
+      if (!callerCached) ec.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
       return (emptyState, Seq.empty)
     }
     setupMark("vertices-maxvid")
@@ -161,7 +180,35 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     setupMark("deg-blk-stats")
     val edgeCount = blkRows.iterator.map(_.getLong(1)).sum
     val maxOutdeg = if (blkRows.isEmpty) 0L else blkRows.iterator.map(_.getLong(2)).max
+    // Scale-adaptive effective partition count (guide §2): derived from
+    // the measured edge count, capped at the configured parallelism. Every
+    // relation the superstep loop touches (packed adjacency, fragments,
+    // state, overlays) is partitioned at this width.
+    val p =
+      if (cfg.targetEdgesPerPartition <= 0) cfg.numPartitions
+      else math.min(cfg.numPartitions.toLong,
+        math.max(1L, (edgeCount + cfg.targetEdgesPerPartition - 1) / cfg.targetEdgesPerPartition)).toInt
     val hubCut = math.max(cfg.saltMinDeg, 2L * edgeCount / math.max(1, p))
+    // Superstep-loop execution regime: AQE OFF and shuffle width = p from
+    // here (packing onward) through the loop, restored on every exit path.
+    // AQE's per-query-stage re-optimization adds driver round-trips to
+    // every superstep's critical path (the same reason Bench's scaling
+    // sessions run AQE-off), an AQE-executed localCheckpoint loses its
+    // partitioning (AdaptiveSparkPlan reports UnknownPartitioning — every
+    // checkpointed relation was silently re-exchanged per superstep under
+    // AQE sessions), and pinning the shuffle width to p keeps the combine
+    // output exactly co-partitioned with the hash(vid, p) state. The
+    // stats/derivation jobs above stay under the session's own regime,
+    // where AQE's coalescing genuinely helps.
+    val confKV = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> p.toString)
+    val priorConf = confKV.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confKV.foreach { case (k, v) => spark.conf.set(k, v) }
+    def restoreConf(): Unit = priorConf.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     // At most p/2 sources can have out-degree >= 2*edges/p (they'd exceed
     // the edge total otherwise), so the hot list is always a handful of
     // driver-held literals. Literals — NOT a joined DataFrame: a hot-list
@@ -214,25 +261,36 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // localCheckpoint — lineage-free, partitioning preserved), so the only
     // lineage-bearing adjacency in any superstep plan is the persisted cold
     // relation, referenced once per superstep.
+    // The packed relation materializes as a LogicalRDD (eager ONE-ARG
+    // localCheckpoint — lineage-free, partitioning preserved), NOT as a
+    // persist()ed view of its derivation: a persisted plan is matched by
+    // lineage, and any OTHER occurrence of the same source relations in a
+    // superstep plan (PageRank's staticBase shares the vertex lineage)
+    // trips DeduplicateRelations' attribute-id rewrite, after which the
+    // cache lookup misses and the WHOLE edge derivation re-runs inside
+    // every superstep (measured: 2.9s/superstep vs 0.25s at sf0.1 —
+    // r6 probe; the same cache-bust class as the round-2/3 hot-list bug).
+    // A LogicalRDD has no lineage to rewrite, so no plan can unhitch it.
     val adjBase: PackedAdj =
       if (hotVids.isEmpty) {
-        val packed = ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
-          .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-        packed.count() // materialize, then drop staged input
+        val packed = localCheckpointHashed(
+          ec.groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
+            .repartition(p, col("src")), Seq("src"), p)
         setupMark("pack-cold-all")
         PackedAdj(packed, None, hotVids)
       } else {
         val hotSeq = hotVids.toIndexedSeq
-        val cold = ec.filter(!col("src").isin(hotSeq: _*))
-          .groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
-          .repartition(p, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
-        cold.count()
+        val cold = localCheckpointHashed(
+          ec.filter(!col("src").isin(hotSeq: _*))
+            .groupBy(col("src")).agg(collect_list(edgeStruct).as("_adj"))
+            .repartition(p, col("src")), Seq("src"), p)
         setupMark("pack-cold")
-        val hot = Pregel.saltedHot(ec, hotSeq, p, edgeStruct).localCheckpoint(true)
+        val hot = localCheckpointHashed(
+          Pregel.saltedHot(ec, hotSeq, p, edgeStruct), Seq("src", "_salt"), p)
         setupMark("pack-hot")
         PackedAdj(cold, Some(hot), hotVids)
       }
-    ec.unpersist(blocking = false)
+    if (!callerCached) ec.unpersist(blocking = false)
     // In-edge fragment relation for the shuffle-gather pull path (built
     // lazily on the first PullShuffle superstep — most runs never pay for
     // it): dst-keyed fragments indexed by SOURCE block, rebuilt from the
@@ -248,8 +306,9 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       }
       val cols = Seq(col("src"), col("_e.dst").as("dst")) ++
         (if (hasWeight) Seq(col("_e.weight").as("weight")) else Nil)
-      val ia = Pregel.packInFragments(flat.select(cols: _*), blkLen, p, hasWeight)
-        .localCheckpoint(true)
+      val ia = localCheckpointHashed(
+        Pregel.packInFragments(flat.select(cols: _*), blkLen, p, hasWeight),
+        Seq("dst"), p)
       inAdjCache = Some(ia)
       ia
     })
@@ -264,9 +323,13 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // inbox) join against this cached, pre-partitioned relation instead of
     // the prior state: the join is exchange-free (inbox comes out of the
     // combine already hash(vid)-partitioned) and plan growth is linear.
+    // LogicalRDD for the same reason as the packed adjacency above: its
+    // vertex lineage would otherwise coexist with the adjacency's in every
+    // superstep plan and feed the DeduplicateRelations cache-bust.
     val staticBase =
       if (program.usesPriorState) None
-      else Some(vertsWithDeg.repartition(p, col("vid")).persist(StorageLevel.MEMORY_AND_DISK))
+      else Some(localCheckpointHashed(
+        vertsWithDeg.repartition(p, col("vid")), Seq("vid"), p))
 
     // Drop every setup-time relation this run pinned in the block manager:
     // the persisted cold adjacency / degree / static-base caches AND the
@@ -276,9 +339,10 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // to ContextCleaner GC leaked block-manager storage into the surviving
     // session (ADVICE r4). Runs on BOTH the normal and the crash exit.
     def releaseSetupRelations(): Unit = {
-      adjBase.cold.unpersist(blocking = false)
+      restoreConf()
+      Pregel.unpersistCheckpointed(adjBase.cold)
       deg.unpersist(blocking = false)
-      staticBase.foreach(_.unpersist(blocking = false))
+      staticBase.foreach(Pregel.unpersistCheckpointed)
       adjBase.hot.foreach(Pregel.unpersistCheckpointed)
       inAdjCache.foreach(Pregel.unpersistCheckpointed)
     }
@@ -302,9 +366,12 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // alone (a vertex responds only in the superstep that updated it).
     // Full-update supersteps compact: they materialize the merged view
     // and clear the overlays.
-    var base = resumed.map(_._2).getOrElse(
-        program.initState(vertsWithDeg).repartition(p, col("vid")))
-      .localCheckpoint(false)
+    // The resumed branch stays UNstamped: a checkpoint-loaded relation is
+    // parquet-partitioned, not hash(vid, p) — a false stamp would mis-join.
+    var base = resumed.map(_._2.localCheckpoint(false)).getOrElse(
+      localCheckpointHashed(
+        program.initState(vertsWithDeg).repartition(p, col("vid")),
+        Seq("vid"), p, eager = false))
     setupMark("init-state")
     var overlays: Vector[(DataFrame, Long)] = Vector.empty // (delta, rows)
     var deltaRowsAcc = 0L
@@ -358,9 +425,16 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     // update() exactly once, so fuse>1 would skip supersteps (today all
     // deltaFilter programs are MsgDepend and land at 1 anyway — this makes
     // the invariant structural rather than accidental).
+    // Fusing amortizes the per-barrier fixed cost (driver round-trip +
+    // full-state materialization) and pays a 4x-sized plan per action; the
+    // trade only wins when per-superstep data volume dwarfs the plan
+    // overhead. Below `fuseMinEdges` the barrier is NOT the bottleneck
+    // (r6 probe at 159k edges: fuse=1 5.7s vs fuse=4 9.9s for 10-superstep
+    // PageRank) while above it the r5 scaling evidence favors fuse=4 —
+    // so the floor keeps fusing scale-adaptive rather than constant.
     val fuse =
       if (program.usesPriorState || program.updateRule != UpdateAll ||
-        program.deltaFilter.isDefined) 1
+        program.deltaFilter.isDefined || edgeCount < cfg.fuseMinEdges) 1
       else math.max(1, cfg.fusedSupersteps)
     // Superstep report (VerBlockBeta analog) as OBSERVED metrics: respond
     // count, est. messages (sum of respond out-degrees), task aggregate,
@@ -431,18 +505,24 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       val obs = org.apache.spark.sql.Observation()
       if (deltaStep) {
         val ib = inbox.get.withColumnRenamed("vid", "_mvid")
-        val ibr = if (lastEstMsgs <= 100000L) broadcast(ib) else ib
+        // hash join, not sort-merge: both sides are already hash(vid, p)
+        // co-partitioned, so SMJ's only addition is two per-superstep sorts
+        val ibr = if (lastEstMsgs <= 100000L) broadcast(ib) else ib.hint("shuffle_hash")
         val joinedAll = view().join(ibr, col("vid") === col("_mvid"), "left_outer").drop("_mvid")
         val touched = joinedAll.filter(program.deltaFilter.get)
-        newDelta = program.update(touched, t, jobAgg)
-          .observe(obs, reportCols.head, reportCols.tail: _*).localCheckpoint(true)
+        newDelta = localCheckpointHashed(
+          program.update(touched, t, jobAgg)
+            .observe(obs, reportCols.head, reportCols.tail: _*), Seq("vid"), p)
       } else {
         var st = view()
         var in = inbox
         for (tt <- t to tEnd) {
           val joinLeft = staticBase.getOrElse(st)
           val joined = in match {
-            case Some(ib) => joinLeft.join(ib.withColumnRenamed("vid", "_mvid"),
+            // shuffle_hash: both sides hash(vid, p) co-partitioned — SMJ
+            // would only add two per-superstep sorts (r6 plan audit)
+            case Some(ib) => joinLeft.join(
+              ib.withColumnRenamed("vid", "_mvid").hint("shuffle_hash"),
               col("vid") === col("_mvid"), "left_outer").drop("_mvid")
             case None => program.emptyInboxCols.foldLeft(joinLeft)((df, c) => df.withColumn(c._1, c._2))
           }
@@ -459,8 +539,8 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
         // explain), which silently re-exchanges the state in every
         // downstream join; the one-arg form preserves hash(vid) and keeps
         // the superstep's joins co-partitioned.
-        newState = st.observe(obs, reportCols.head, reportCols.tail: _*)
-          .localCheckpoint(true)
+        newState = localCheckpointHashed(
+          st.observe(obs, reportCols.head, reportCols.tail: _*), Seq("vid"), p)
         if (sys.env.contains("GRAFT_EXPLAIN"))
           println(s"[part] step=$t st-top=" + st.queryExecution.executedPlan.outputPartitioning)
         if (sys.env.contains("GRAFT_PHASES"))

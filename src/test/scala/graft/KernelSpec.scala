@@ -169,7 +169,8 @@ class KernelSpec extends SparkTestBase {
     val withLoops = directed ++ vids.filterNot(srcs).map(v => (v, v))
     val verts = vertDF(vids.size.toLong)
     def pr(fuse: Int) = PageRank.scores(
-      new Pregel(spark, PregelConfig(numPartitions = 4, fusedSupersteps = fuse)),
+      new Pregel(spark, PregelConfig(numPartitions = 4, fusedSupersteps = fuse,
+        fuseMinEdges = 0L)), // floor off: the test must exercise real fusing
       verts, edgeDF(withLoops), vids.size.toLong, 9)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val a = pr(1); val b = pr(4)
