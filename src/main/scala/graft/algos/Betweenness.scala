@@ -38,8 +38,10 @@ object Betweenness {
   def truncated(vertices: DataFrame, undirected: DataFrame, seeds: Seq[Long],
                 levels: Int, numPartitions: Int): DataFrame = {
     require(levels >= 2, "truncated betweenness needs >= 2 BFS levels")
-    val adj = undirected.select(col("src"), col("dst"))
-      .repartition(numPartitions, col("src")).localCheckpoint(true)
+    val adj = org.apache.spark.sql.graftx.PartitionedCheckpoint.localCheckpointHashed(
+      undirected.select(col("src"), col("dst")).repartition(numPartitions, col("src")),
+      Seq("src"), numPartitions) // stamped: keeps the per-level frontier
+      // joins from re-exchanging the adjacency (AQE drops the layout)
     val f0 = vertices.filter(col("vid").isin(seeds: _*))
       .select(col("vid").as("seed"), col("vid"), lit(1L).as("sigma"))
       .localCheckpoint(true)

@@ -118,8 +118,10 @@ object RandomWalks {
     // adj appears on BOTH sides of a per-step self-join (candidates +
     // membership probe): materialize it lineage-free so DeduplicateRelations
     // can't bust the cache match (one RDD referenced twice, never recomputed)
-    val adj = edges.select(col("src"), col("dst"))
-      .repartition(numPartitions, col("src")).localCheckpoint(true)
+    val adj = org.apache.spark.sql.graftx.PartitionedCheckpoint.localCheckpointHashed(
+      edges.select(col("src"), col("dst")).repartition(numPartitions, col("src")),
+      Seq("src"), numPartitions) // stamped: plain localCheckpoint loses the
+      // hash(src) layout under AQE and both per-step joins re-exchanged it
     var frontier = vertices
       .select(col("vid").as("walk_id"), lit(-1L).as("prev"), col("vid").as("cur"))
     val outs = scala.collection.mutable.ArrayBuffer(

@@ -34,14 +34,36 @@ import org.apache.spark.sql.expressions.Window
  */
 object Similarity {
 
+  /** Sequential left-fold dot product — the deterministic reduction both
+   * engines share. NOTE: `aggregate`/`zip_with` are higher-order functions
+   * evaluated outside whole-stage codegen, so the hot paths below avoid
+   * re-evaluating it per pair (norms are computed once per VECTOR and
+   * joined/inlined; guide §4 — no non-codegen expression work that can be
+   * hoisted out of the pair loop). */
+  private[pipeline] def dotExpr(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, z) => acc + z)
+
   /** Deterministic double cosine ~ dot (embeddings are unit-norm, but we
    * normalize anyway). */
   def cosExpr(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, z) => acc + z)
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
-    round(dot(ad, bd) / sqrt(dot(ad, ad)) / sqrt(dot(bd, bd)), 6)
+    round(dotExpr(ad, bd) / sqrt(dotExpr(ad, ad)) / sqrt(dotExpr(bd, bd)), 6)
+  }
+
+  /** cosExpr with the two squared norms precomputed: bit-identical to
+   * cosExpr (same fold, same division order — only the point where
+   * dot(a,a)/dot(b,b) are evaluated moves from per-PAIR to per-VECTOR). */
+  private def cosWithNorms(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    round(dotExpr(a.cast("array<double>"), b.cast("array<double>")) /
+      sqrt(n2a) / sqrt(n2b), 6)
+
+  /** (vec_id AS <idAlias>, embedding AS <embAlias>, _n2<idAlias>): one
+   * squared-norm evaluation per vector instead of one per candidate pair. */
+  private def embWithNorm(emb: DataFrame, idAlias: String, embAlias: String): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    emb.select(col("vec_id").as(idAlias), col("embedding").as(embAlias),
+      dotExpr(e, e).as(s"_n2$idAlias"))
   }
 
   val cosSqlFn: String =
@@ -102,9 +124,10 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
     cands
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
-      .select(col("a"), col("b"), cosExpr(col("ea"), col("eb")).as("cos"))
+      .join(embWithNorm(emb, "a", "ea"), "a")
+      .join(embWithNorm(emb, "b", "eb"), "b")
+      .select(col("a"), col("b"),
+        cosWithNorms(col("ea"), col("eb"), col("_n2a"), col("_n2b")).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy("a", "b")
   }
@@ -123,11 +146,12 @@ object Similarity {
 
   /** Brute-force exact top-k cosine neighbors per vector (the baseline). */
   def annTopK(emb: DataFrame, k: Int): DataFrame = {
-    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val a = embWithNorm(emb, "a", "ea")
+    val b = embWithNorm(emb, "b", "eb")
     val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     a.join(b, col("a") =!= col("b"))
-      .select(col("a"), col("b"), cosExpr(col("ea"), col("eb")).as("cos"))
+      .select(col("a"), col("b"),
+        cosWithNorms(col("ea"), col("eb"), col("_n2a"), col("_n2b")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("a").as("vec_id"), col("rank"), col("b").as("neighbor"), col("cos"))
@@ -159,9 +183,10 @@ object Similarity {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
     val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     cands
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
-      .select(col("a"), col("b"), cosExpr(col("ea"), col("eb")).as("cos"))
+      .join(embWithNorm(emb, "a", "ea"), "a")
+      .join(embWithNorm(emb, "b", "eb"), "b")
+      .select(col("a"), col("b"),
+        cosWithNorms(col("ea"), col("eb"), col("_n2a"), col("_n2b")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("a").as("vec_id"), col("rank"), col("b").as("neighbor"), col("cos"))
@@ -195,9 +220,27 @@ object Similarity {
     // cosine folds made codegen quadratic-sized and dominated the wall).
     // argmax cell via max(struct(cos, -cell)): a cosine tie resolves to
     // the LOWEST cell id, mirroring the oracle's ORDER BY cos DESC, cell.
-    def cosCells(cents: Seq[(Long, Seq[Double])]): Column =
-      zip_with(typedlit(cents.map(_._2)), typedlit(cents.map(_._1)),
-        (cv, id) => struct(cosExpr(col("embedding"), cv).as("cos"), id.as("cell")))
+    // Cell scoring without per-cell norm re-evaluation: the query's
+    // squared norm is computed ONCE per row (not once per cell) and each
+    // centroid's norm is a driver-computed literal riding the struct
+    // (identical IEEE value: the same sequential left-fold, evaluated in
+    // Scala). Division order matches cosExpr exactly, so every cosine is
+    // bit-identical to the unhoisted form.
+    def seqDot(v: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      acc
+    }
+    def cosCells(cents: Seq[(Long, Seq[Double])]): Column = {
+      val e = col("embedding").cast("array<double>")
+      val qn = sqrt(dotExpr(e, e))
+      val packed = cents.map { case (id, v) => (v, id, math.sqrt(seqDot(v))) }
+      zip_with(typedlit(packed.map(_._1)),
+        typedlit(packed.map(p => (p._2, p._3))),
+        (cv, meta) => struct(
+          round(dotExpr(e, cv) / qn / meta.getField("_2"), 6).as("cos"),
+          meta.getField("_1").as("cell")))
+    }
     def assignCol(cents: Seq[(Long, Seq[Double])]): Column =
       (-array_max(transform(cosCells(cents),
         x => struct(x.getField("cos").as("cos"), (-x.getField("cell")).as("negCell"))))
@@ -230,9 +273,10 @@ object Similarity {
       .filter(col("a") =!= col("b")).select("a", "b").distinct()
     val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
     cands
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), "a")
-      .join(emb.select(col("vec_id").as("b"), col("embedding").as("eb")), "b")
-      .select(col("a"), col("b"), cosExpr(col("ea"), col("eb")).as("cos"))
+      .join(embWithNorm(emb, "a", "ea"), "a")
+      .join(embWithNorm(emb, "b", "eb"), "b")
+      .select(col("a"), col("b"),
+        cosWithNorms(col("ea"), col("eb"), col("_n2a"), col("_n2b")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("a").as("vec_id"), col("rank"), col("b").as("neighbor"), col("cos"))
