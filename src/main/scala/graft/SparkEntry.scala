@@ -82,10 +82,16 @@ object SparkEntry {
       // derive OUTSIDE the map lock — the derivation runs Spark jobs and
       // computeIfAbsent would hold the bin lock for their whole duration;
       // a racing loser unpersists its duplicate cache and adopts the winner
+      // dedges is cached too: it is read directly (edges, hits) AND is the
+      // base every derived edge relation (undirected/prEdges/canonical)
+      // materializes from on first use
       val verts = LinkGraph.vertices(Transcripts.fromEvents(spark, dir)).cache()
-      val g = G(verts, LinkGraph.directedEdges(verts), verts.count())
+      val g = G(verts, LinkGraph.directedEdges(verts).cache(), verts.count())
       val prev = graphs.putIfAbsent(key, g)
-      if (prev != null) { verts.unpersist(blocking = false); prev } else g
+      if (prev != null) {
+        verts.unpersist(blocking = false); g.dedges.unpersist(blocking = false)
+        prev
+      } else g
     }
   }
 

@@ -48,9 +48,11 @@ object Betweenness {
 
     // forward: BFS levels with path counts
     val frontiers = scala.collection.mutable.ArrayBuffer(f0)
-    var seen = f0.select("seed", "vid").localCheckpoint(true)
+    val seens = scala.collection.mutable.ArrayBuffer(
+      f0.select("seed", "vid").localCheckpoint(true))
     for (_ <- 1 to levels) {
       val prev = frontiers.last
+      val seen = seens.last
       val cand = prev.join(adj, prev("vid") === adj("src"))
         .select(col("seed"), adj("dst").as("cvid"), col("sigma"))
       val f = cand
@@ -60,7 +62,7 @@ object Betweenness {
         .select(col("seed"), col("cvid").as("vid"), col("sigma"))
         .localCheckpoint(true)
       frontiers += f
-      seen = seen.unionByName(f.select("seed", "vid")).localCheckpoint(true)
+      seens += seen.unionByName(f.select("seed", "vid")).localCheckpoint(true)
     }
 
     // backward: dependency accumulation, deepest level first
@@ -87,11 +89,21 @@ object Betweenness {
       if (deltas.isEmpty)
         vertices.select(col("vid"), lit(0.0).as("betweenness"))
       else {
+        // deltas are eagerly checkpointed (lineage-free), so the result no
+        // longer depends on the forward-pass relations: materialize it and
+        // release EVERY intermediate checkpoint — the per-level frontiers,
+        // the seen-set chain and all but the last delta otherwise stay
+        // pinned in the block manager for the life of the shared session
+        // (ADVICE r5; the same leak class the kernel closed in r4).
         val bc = deltas.reduce(_.unionByName(_))
           .groupBy("vid").agg(sum("delta").as("b"))
         vertices.select("vid").join(bc, Seq("vid"), "left_outer")
           .select(col("vid"), round(coalesce(col("b"), lit(0.0)), 6).as("betweenness"))
+          .localCheckpoint(true)
       }
+    frontiers.foreach(graft.pregel.Pregel.unpersistCheckpointed)
+    seens.foreach(graft.pregel.Pregel.unpersistCheckpointed)
+    deltas.foreach(graft.pregel.Pregel.unpersistCheckpointed)
     graft.pregel.Pregel.unpersistCheckpointed(adj)
     res
   }
