@@ -189,26 +189,6 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       else math.min(cfg.numPartitions.toLong,
         math.max(1L, (edgeCount + cfg.targetEdgesPerPartition - 1) / cfg.targetEdgesPerPartition)).toInt
     val hubCut = math.max(cfg.saltMinDeg, 2L * edgeCount / math.max(1, p))
-    // Superstep-loop execution regime: AQE OFF and shuffle width = p from
-    // here (packing onward) through the loop, restored on every exit path.
-    // AQE's per-query-stage re-optimization adds driver round-trips to
-    // every superstep's critical path (the same reason Bench's scaling
-    // sessions run AQE-off), an AQE-executed localCheckpoint loses its
-    // partitioning (AdaptiveSparkPlan reports UnknownPartitioning — every
-    // checkpointed relation was silently re-exchanged per superstep under
-    // AQE sessions), and pinning the shuffle width to p keeps the combine
-    // output exactly co-partitioned with the hash(vid, p) state. The
-    // stats/derivation jobs above stay under the session's own regime,
-    // where AQE's coalescing genuinely helps.
-    val confKV = Seq(
-      "spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> p.toString)
-    val priorConf = confKV.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confKV.foreach { case (k, v) => spark.conf.set(k, v) }
-    def restoreConf(): Unit = priorConf.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
     // At most p/2 sources can have out-degree >= 2*edges/p (they'd exceed
     // the edge total otherwise), so the hot list is always a handful of
     // driver-held literals. Literals — NOT a joined DataFrame: a hot-list
@@ -256,14 +236,10 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
     //          (src, pmod(hash(dst), p)) — the hub's adjacency arrives
     //          pre-split into p chunks of ~deg/p built by p parallel tasks;
     //          no giant row ever exists anywhere in the plan.
-    // Lineage discipline (DeduplicateRelations cache-bust, round 2/3): the
-    // hot relation materializes as a LogicalRDD (eager ONE-ARG
-    // localCheckpoint — lineage-free, partitioning preserved), so the only
-    // lineage-bearing adjacency in any superstep plan is the persisted cold
-    // relation, referenced once per superstep.
+    // Lineage discipline (DeduplicateRelations cache-bust, round 2/3):
     // The packed relation materializes as a LogicalRDD (eager ONE-ARG
-    // localCheckpoint — lineage-free, partitioning preserved), NOT as a
-    // persist()ed view of its derivation: a persisted plan is matched by
+    // localCheckpoint via localCheckpointHashed — lineage-free, hash(src)
+    // layout stamped), NOT as a persist()ed view of its derivation: a persisted plan is matched by
     // lineage, and any OTHER occurrence of the same source relations in a
     // superstep plan (PageRank's staticBase shares the vertex lineage)
     // trips DeduplicateRelations' attribute-id rewrite, after which the
@@ -331,6 +307,26 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       else Some(localCheckpointHashed(
         vertsWithDeg.repartition(p, col("vid")), Seq("vid"), p))
 
+    // Superstep-loop execution regime: AQE OFF and shuffle width = p for
+    // the loop, restored on every exit path (the loop's catch and the
+    // normal exit both go through releaseSetupRelations). AQE's per-query-
+    // stage re-optimization adds driver round-trips to every superstep's
+    // critical path for zero benefit on plans whose shapes the kernel
+    // already pins (the same reason Bench's scaling sessions run AQE-off),
+    // and pinning the shuffle width keeps the combine output exactly
+    // co-partitioned with the hash(vid, p) state. Setup above (derivation
+    // aggregates, packing) stays under the session's own regime — its
+    // explicit repartition(p, keys) exchanges fix the checkpointed
+    // layouts regardless, and AQE's coalescing helps the derivation.
+    val confKV = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> p.toString)
+    val priorConf = confKV.map { case (k, _) => k -> spark.conf.getOption(k) }
+    def restoreConf(): Unit = priorConf.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
     // Drop every setup-time relation this run pinned in the block manager:
     // the persisted cold adjacency / degree / static-base caches AND the
     // eagerly localCheckpointed hot adjacency + in-edge fragment relations.
@@ -347,16 +343,15 @@ final class Pregel(spark: SparkSession, cfg: PregelConfig = PregelConfig()) {
       inAdjCache.foreach(Pregel.unpersistCheckpointed)
     }
 
+    confKV.foreach { case (k, v) => spark.conf.set(k, v) }
+
     val resumed = if (cfg.resume) ckpt.flatMap(_.latest()) else None
     // localCheckpoint each superstep: materializes the state AND truncates
     // the iterative logical plan (otherwise analyzer/optimizer cost and
-    // driver heap grow superlinearly with superstep count).
-    // Known wobble: initState typically aliases vid into a second column
-    // (CC/LPA label = vid) and the checkpoint's partitioning rewrite can
-    // bind hash(vid) to that alias (observed: hash(label)), so supersteps
-    // 1-2 re-exchange the state once before the partitioning stabilizes at
-    // hash(vid) from superstep 3 on (verified via the GRAFT_EXPLAIN
-    // [part] trace). A one-off n-row shuffle per run — left as-is.
+    // driver heap grow superlinearly with superstep count). The stamped
+    // checkpoint (localCheckpointHashed) pins the partitioning to
+    // hash(vid, p) — the r5 "wobble" (the rewrite binding hash to the
+    // label alias, re-exchanging the state) is gone by construction.
     //
     // State representation (round 3, reference C2 VBlock-skip analog):
     // `base` is the last fully-materialized state; `overlays` is a short
