@@ -32,15 +32,21 @@ object Dedup {
       |  FROM documents
       |)""".stripMargin
 
-  /** Distinct word w-shingles per doc. */
-  def shingles(docs: DataFrame, w: Int = 2): DataFrame = {
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh = (1 until w).foldLeft(col("word")) { (acc, i) =>
-      concat(acc, lit(" "), lead(col("word"), i).over(win))
-    }
-    tokens(docs).select(col("doc_id"), sh.as("sh"))
-      .filter(col("sh").isNotNull).distinct()
-  }
+  /** Distinct word w-shingles per doc. Computed MAP-SIDE from the split
+   * array (each window is a slice of the row's own word array) instead of
+   * the previous per-doc Window+lead formulation, which cost an exchange
+   * plus a per-doc sort before the distinct (r6; guide §2.4 — the shingle
+   * set is a pure per-row function, no shuffle is fundamentally required
+   * before the distinct). Same shingle multiset: window i of the array ==
+   * (word at pos i) ++ lead(word, 1..w-1) with the null-tail rows dropped,
+   * so the distinct set is identical — oracle-verified. */
+  def shingles(docs: DataFrame, w: Int = 2): DataFrame =
+    docs.select(col("doc_id"), expr(
+      s"""explode(CASE WHEN size(split(text, ' ')) >= $w
+         |  THEN transform(sequence(0, size(split(text, ' ')) - $w),
+         |       i -> concat_ws(' ', slice(split(text, ' '), i + 1, $w)))
+         |  ELSE array() END)""".stripMargin).as("sh"))
+      .distinct()
 
   def shinglesSql(w: Int = 2): String = {
     val parts = (1 until w).foldLeft("word") { (acc, i) =>
